@@ -1,0 +1,471 @@
+"""Carbonate-system chemistry: equilibrium constants, total-alkalinity
+root-find, speciation, and saturation states.
+
+TPU-native re-design of the reference's ``co2calc`` module
+(co2calc.F90:1-1242).  Every routine here is elementwise over arrays of any
+shape — the batching that the reference reaches for with ``shr_vmath``
+(co2calc.F90:12-15) is native: a whole column-batch of cells solves its pH
+simultaneously on the VPU lanes, with the bracketed-Newton iteration
+expressed as a masked ``lax.while_loop`` (each lane freezes when converged,
+the loop exits when every lane has).
+
+Provenance of each formula block is cited to co2calc.F90 line ranges; the
+physical references (Weiss, Lueker, Millero, Dickson, Mucci, ...) are the
+same ones the OCMIP2 code cites.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ocean_bgc_tpu.constants import (
+    ALK_MIN,
+    DIC_MIN,
+    INV_R_GAS,
+    MASS_TO_VOL,
+    MAXIT,
+    SALT_MIN,
+    T0_KELVIN,
+    VOL_TO_MASS,
+    XACC,
+)
+
+_LN10 = jnp.log(10.0)
+_BRACKET_GROW_GUARD = 60   # geometric growth; reference loop is unbounded
+                           # (abort commented out, co2calc.F90:931-933)
+
+
+class CarbCoeffs(NamedTuple):
+    """The 11 equilibrium constants + 3 total concentrations of
+    comp_co3_coeffs (co2calc.F90:320-777), one value per cell."""
+
+    k0: jax.Array
+    k1: jax.Array
+    k2: jax.Array
+    ff: jax.Array      # CO2 fugacity factor
+    kb: jax.Array
+    k1p: jax.Array
+    k2p: jax.Array
+    k3p: jax.Array
+    ksi: jax.Array
+    kw: jax.Array
+    ks: jax.Array
+    kf: jax.Array
+    bt: jax.Array      # total borate
+    st: jax.Array      # total sulfate
+    ft: jax.Array      # total fluoride
+
+
+def press_bar_from_depth(depth_m):
+    """POP reference pressure (bars) at depth (m) (co2calc.F90:156-157)."""
+    return (0.059808 * (jnp.exp(-0.025 * depth_m) - 1.0)
+            + 0.100766 * depth_m + 2.28405e-7 * depth_m ** 2)
+
+
+def _pressure_factor(deltaV, kappa, press_bar, invRtk):
+    """exp((-dV + 0.5*kappa*P) * P / (R*T)) (Millero pressure correction)."""
+    return jnp.exp((-deltaV + 0.5 * kappa * press_bar) * press_bar * invRtk)
+
+
+def carbonate_coeffs(depth_m, temp, salt, apply_pressure, *,
+                     k1_k2_ph_tot=True) -> CarbCoeffs:
+    """All thermodynamic constants at (T, S, depth).
+
+    ``apply_pressure`` is the vectorized form of the reference's ``k > 1``
+    gate (pressure corrections only below the surface level,
+    co2calc.F90:480-490 et seq.); it may be a Python bool or a traced
+    scalar/array.  ``k1_k2_ph_tot`` selects Lueker-2000 total-scale k1/k2
+    versus the legacy OCMIP2 seawater-scale fit (co2calc.F90:461-471).
+    """
+    press = press_bar_from_depth(depth_m)
+    apply_pressure = jnp.asarray(apply_pressure)
+
+    salt_lim = jnp.maximum(salt, SALT_MIN)
+    tk = T0_KELVIN + temp
+    tk100 = tk * 1e-2
+    tk1002 = tk100 * tk100
+    invtk = 1.0 / tk
+    dlogtk = jnp.log(tk)
+    invRtk = INV_R_GAS * invtk
+
+    ionic = 19.924 * salt_lim / (1000.0 - 1.005 * salt_lim)
+    ionic2 = ionic * ionic
+    sqrtis = jnp.sqrt(ionic)
+    sqrts = jnp.sqrt(salt_lim)
+    s2 = salt_lim * salt_lim
+    scl = salt_lim / 1.80655
+    log_1_m_1p005em3_s = jnp.log(1.0 - 0.001005 * salt_lim)
+
+    def pcorr(k_val, deltaV, kappa):
+        kfac = _pressure_factor(deltaV, kappa, press, invRtk)
+        return jnp.where(apply_pressure, k_val * kfac, k_val)
+
+    # ff — Weiss & Price 1980 (co2calc.F90:423-431)
+    ff = jnp.exp(-162.8301 + 218.2968 / tk100
+                 + 90.9241 * (dlogtk + jnp.log(1e-2)) - 1.47696 * tk1002
+                 + salt_lim * (0.025695 - 0.025225 * tk100
+                               + 0.0049867 * tk1002))
+
+    # k0 — Weiss 1974 (co2calc.F90:437-444)
+    k0 = jnp.exp(93.4517 / tk100 - 60.2409
+                 + 23.3585 * (dlogtk + jnp.log(1e-2))
+                 + salt_lim * (0.023517 - 0.023656 * tk100
+                               + 0.0047036 * tk1002))
+
+    # k1, k2 — Lueker 2000 (total) or Millero 1995 (seawater)
+    # (co2calc.F90:461-519); pressure corr Millero 1995 p.675
+    if k1_k2_ph_tot:
+        arg1 = (3633.86 * invtk - 61.2172 + 9.67770 * dlogtk
+                - 0.011555 * salt_lim + 0.0001152 * s2)
+        arg2 = (471.78 * invtk + 25.9290 - 3.16967 * dlogtk
+                - 0.01781 * salt_lim + 0.0001122 * s2)
+    else:
+        arg1 = (3670.7 * invtk - 62.008 + 9.7944 * dlogtk
+                - 0.0118 * salt_lim + 0.000116 * s2)
+        arg2 = (1394.7 * invtk + 4.777 - 0.0184 * salt_lim + 0.000118 * s2)
+    k1 = jnp.exp(-_LN10 * arg1)
+    k1 = pcorr(k1, -25.5 + 0.1271 * temp, (-3.08 + 0.0877 * temp) * 1e-3)
+    k2 = jnp.exp(-_LN10 * arg2)
+    k2 = pcorr(k2, -15.82 - 0.0219 * temp, (1.13 - 0.1475 * temp) * 1e-3)
+
+    # kb — Millero 1995 / Dickson 1990 (co2calc.F90:529-551)
+    kb = jnp.exp((-8966.90 - 2890.53 * sqrts - 77.942 * salt_lim
+                  + 1.728 * salt_lim * sqrts - 0.0996 * s2) * invtk
+                 + (148.0248 + 137.1942 * sqrts + 1.62142 * salt_lim)
+                 + (-24.4344 - 25.085 * sqrts - 0.2474 * salt_lim) * dlogtk
+                 + 0.053105 * sqrts * tk)
+    kb = pcorr(kb, -29.48 + (0.1622 - 0.002608 * temp) * temp, -2.84e-3)
+
+    # k1p — DOE 1994 eq 7.2.20 (co2calc.F90:560-580)
+    k1p = jnp.exp(-4576.752 * invtk + 115.525 - 18.453 * dlogtk
+                  + (-106.736 * invtk + 0.69171) * sqrts
+                  + (-0.65643 * invtk - 0.01844) * salt_lim)
+    k1p = pcorr(k1p, -14.51 + (0.1211 - 0.000321 * temp) * temp,
+                (-2.67 + 0.0427 * temp) * 1e-3)
+
+    # k2p — DOE 1994 eq 7.2.23 (co2calc.F90:589-609)
+    k2p = jnp.exp(-8814.715 * invtk + 172.0883 - 27.927 * dlogtk
+                  + (-160.340 * invtk + 1.3566) * sqrts
+                  + (0.37335 * invtk - 0.05778) * salt_lim)
+    k2p = pcorr(k2p, -23.12 + (0.1758 - 0.002647 * temp) * temp,
+                (-5.15 + 0.09 * temp) * 1e-3)
+
+    # k3p — DOE 1994 eq 7.2.26 (co2calc.F90:618-637)
+    k3p = jnp.exp(-3070.75 * invtk - 18.141
+                  + (17.27039 * invtk + 2.81197) * sqrts
+                  + (-44.99486 * invtk - 0.09984) * salt_lim)
+    k3p = pcorr(k3p, -26.57 + (0.202 - 0.003042 * temp) * temp,
+                (-4.08 + 0.0714 * temp) * 1e-3)
+
+    # ksi — Millero 1995 / Yao & Millero (co2calc.F90:647-669);
+    # pressure correction borrows the boric-acid values
+    ksi = jnp.exp(-8904.2 * invtk + 117.385 - 19.334 * dlogtk
+                  + (-458.79 * invtk + 3.5913) * sqrtis
+                  + (188.74 * invtk - 1.5998) * ionic
+                  + (-12.1652 * invtk + 0.07871) * ionic2
+                  + log_1_m_1p005em3_s)
+    ksi = pcorr(ksi, -29.48 + (0.1622 - 0.002608 * temp) * temp, -2.84e-3)
+
+    # kw — Millero 1995 composite (co2calc.F90:681-700)
+    kw = jnp.exp(-13847.26 * invtk + 148.9652 - 23.6521 * dlogtk
+                 + (118.67 * invtk - 5.977 + 1.0495 * dlogtk) * sqrts
+                 - 0.01615 * salt_lim)
+    kw = pcorr(kw, -20.02 + (0.1119 - 0.001409 * temp) * temp,
+               (-5.13 + 0.0794 * temp) * 1e-3)
+
+    # ks — Dickson 1990, free scale (co2calc.F90:709-731)
+    ks = jnp.exp(-4276.1 * invtk + 141.328 - 23.093 * dlogtk
+                 + (-13856.0 * invtk + 324.57 - 47.986 * dlogtk) * sqrtis
+                 + (35474.0 * invtk - 771.54 + 114.723 * dlogtk) * ionic
+                 - 2698.0 * invtk * ionic * sqrtis
+                 + 1776.0 * invtk * ionic2
+                 + log_1_m_1p005em3_s)
+    ks = pcorr(ks, -18.03 + (0.0466 + 0.000316 * temp) * temp,
+               (-4.53 + 0.09 * temp) * 1e-3)
+
+    # kf — Dickson & Riley 1979, converted to total scale
+    # (co2calc.F90:740-764); note dependence on ks computed above
+    log_1_p_tot_sulfate_div_ks = jnp.log(
+        1.0 + (0.1400 / 96.062) * scl / ks)
+    kf = jnp.exp(1590.2 * invtk - 12.641 + 1.525 * sqrtis
+                 + log_1_m_1p005em3_s + log_1_p_tot_sulfate_div_ks)
+    kf = pcorr(kf, -9.78 - (0.009 + 0.000942 * temp) * temp,
+               (-3.91 + 0.054 * temp) * 1e-3)
+
+    # total borate (Uppstrom 1974), sulfate (Morris & Riley 1966),
+    # fluoride (Riley 1965) (co2calc.F90:773-775)
+    bt = 0.000232 / 10.811 * scl
+    st = 0.14 / 96.062 * scl
+    ft = 0.000067 / 18.9984 * scl
+
+    return CarbCoeffs(k0=k0, k1=k1, k2=k2, ff=ff, kb=kb, k1p=k1p, k2p=k2p,
+                      k3p=k3p, ksi=ksi, kw=kw, ks=ks, kf=kf,
+                      bt=bt, st=st, ft=ft)
+
+
+def talk(coeffs: CarbCoeffs, dic, ta, pt, sit, x):
+    """Total alkalinity fn(H) and d(fn)/dH at htotal = x (talk_row,
+    co2calc.F90:1001-1092).  All concentrations in mol/kg.
+
+    fn = hco3 + co3 + borate + oh + hpo4 + 2*po4 + silicate
+         - hfree - hso4 - hf - h3po4 - ta
+    """
+    x1 = x
+    x1_r = 1.0 / x1
+    x2 = x1 * x1
+    x2_r = x1_r * x1_r
+    x3 = x2 * x1
+    k12 = coeffs.k1 * coeffs.k2
+    k12p = coeffs.k1p * coeffs.k2p
+    k123p = k12p * coeffs.k3p
+    a = x3 + coeffs.k1p * x2 + k12p * x1 + k123p
+    a_r = 1.0 / a
+    a2_r = a_r * a_r
+    da = 3.0 * x2 + 2.0 * coeffs.k1p * x1 + k12p
+    b = x2 + coeffs.k1 * x1 + k12
+    b_r = 1.0 / b
+    b2_r = b_r * b_r
+    db = 2.0 * x1 + coeffs.k1
+    c = 1.0 + coeffs.st / coeffs.ks
+    c_r = 1.0 / c
+    kb_p_x1_r = 1.0 / (coeffs.kb + x1)
+    ksi_p_x1_r = 1.0 / (coeffs.ksi + x1)
+    c1_p_c_ks_x1_r_r = 1.0 / (1.0 + c * coeffs.ks * x1_r)
+    c1_p_kf_x1_r_r = 1.0 / (1.0 + coeffs.kf * x1_r)
+
+    fn = (coeffs.k1 * dic * x1 * b_r
+          + 2.0 * dic * k12 * b_r
+          + coeffs.bt * coeffs.kb * kb_p_x1_r
+          + coeffs.kw * x1_r
+          + pt * k12p * x1 * a_r
+          + 2.0 * pt * k123p * a_r
+          + sit * coeffs.ksi * ksi_p_x1_r
+          - x1 * c_r
+          - coeffs.st * c1_p_c_ks_x1_r_r
+          - coeffs.ft * c1_p_kf_x1_r_r
+          - pt * x3 * a_r
+          - ta)
+
+    df = (coeffs.k1 * dic * (b - x1 * db) * b2_r
+          - 2.0 * dic * k12 * db * b2_r
+          - coeffs.bt * coeffs.kb * kb_p_x1_r * kb_p_x1_r
+          - coeffs.kw * x2_r
+          + (pt * k12p * (a - x1 * da)) * a2_r
+          - 2.0 * pt * k123p * da * a2_r
+          - sit * coeffs.ksi * ksi_p_x1_r * ksi_p_x1_r
+          - 1.0 * c_r
+          - coeffs.st * c1_p_c_ks_x1_r_r * c1_p_c_ks_x1_r_r
+            * (c * coeffs.ks * x2_r)
+          - coeffs.ft * c1_p_kf_x1_r_r * c1_p_kf_x1_r_r * coeffs.kf * x2_r
+          - pt * x2 * (3.0 * a - x1 * da) * a2_r)
+
+    return fn, df
+
+
+def solve_htotal(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2,
+                 xacc=XACC):
+    """Lane-parallel bracketed safe-Newton root-find for htotal
+    (drtsafe_row, co2calc.F90:872-997).
+
+    The reference solves one cell at a time; here every lane carries its own
+    (bracket, Newton state, converged flag) and the ``while_loop`` runs until
+    all lanes converge or MAXIT.  Per-lane update sequencing matches the
+    scalar algorithm exactly — a lane that converges freezes, so results are
+    independent of batch composition.
+    """
+    dtype = jnp.result_type(x1, x2)
+    x1 = jnp.asarray(x1, dtype)
+    x2 = jnp.broadcast_to(jnp.asarray(x2, dtype), x1.shape)
+
+    def f_of(x):
+        return talk(coeffs, dic, ta, pt, sit, x)
+
+    # --- bracket phase: grow geometrically until the root is straddled ---
+    flo0, _ = f_of(x1)
+    fhi0, _ = f_of(x2)
+
+    def not_bracketed(flo, fhi):
+        return ((flo > 0.0) & (fhi > 0.0)) | ((flo < 0.0) & (fhi < 0.0))
+
+    def bracket_cond(carry):
+        x1c, x2c, flo, fhi, it = carry
+        return jnp.any(not_bracketed(flo, fhi)) & (it < _BRACKET_GROW_GUARD)
+
+    def bracket_body(carry):
+        x1c, x2c, flo, fhi, it = carry
+        m = not_bracketed(flo, fhi)
+        growth = jnp.sqrt(x2c / x1c)
+        x1n = jnp.where(m, x1c / growth, x1c)
+        x2n = jnp.where(m, x2c * growth, x2c)
+        flo_n, _ = f_of(x1n)
+        fhi_n, _ = f_of(x2n)
+        flo_n = jnp.where(m, flo_n, flo)
+        fhi_n = jnp.where(m, fhi_n, fhi)
+        return x1n, x2n, flo_n, fhi_n, it + 1
+
+    x1b, x2b, flo, fhi, _ = jax.lax.while_loop(
+        bracket_cond, bracket_body,
+        (x1, x2, flo0, fhi0, jnp.asarray(0, jnp.int32)))
+
+    # --- orient bracket so that f(xlo) < 0 (co2calc.F90:940-949) ---
+    neg_at_x1 = flo < 0.0
+    xlo = jnp.where(neg_at_x1, x1b, x2b)
+    xhi = jnp.where(neg_at_x1, x2b, x1b)
+
+    soln0 = 0.5 * (xlo + xhi)
+    dxold0 = jnp.abs(xlo - xhi)
+    f0, df0 = f_of(soln0)
+
+    active0 = jnp.ones_like(soln0, dtype=bool)
+
+    def iter_cond(carry):
+        _, _, _, _, _, _, _, active, it = carry
+        return jnp.any(active) & (it < MAXIT)
+
+    def iter_body(carry):
+        soln, xlo_c, xhi_c, f, df, dx, dxold, active, it = carry
+        # choose bisection when Newton would leave the bracket or is
+        # converging too slowly (co2calc.F90:962-976)
+        leave_bracket = (((soln - xhi_c) * df - f)
+                         * ((soln - xlo_c) * df - f)) >= 0.0
+        dx_decrease = jnp.abs(2.0 * f) <= jnp.abs(dxold * df)
+        bisect = leave_bracket | (~dx_decrease)
+
+        dxold_n = dx
+        dx_bis = 0.5 * (xhi_c - xlo_c)
+        dx_newt = -f / df
+        dx_n = jnp.where(bisect, dx_bis, dx_newt)
+        soln_n = jnp.where(bisect, xlo_c + dx_bis, soln + dx_newt)
+        stalled = jnp.where(bisect, xlo_c == soln_n, soln == soln_n)
+        converged = stalled | (jnp.abs(dx_n) < xacc)
+
+        soln_out = jnp.where(active, soln_n, soln)
+        dx_out = jnp.where(active, dx_n, dx)
+        dxold_out = jnp.where(active, dxold_n, dxold)
+        active_n = active & (~converged)
+
+        f_n, df_n = f_of(soln_out)
+        f_out = jnp.where(active_n, f_n, f)
+        df_out = jnp.where(active_n, df_n, df)
+        # re-bracket (co2calc.F90:983-989)
+        go_lo = (f_n < 0.0) & active_n
+        go_hi = (f_n >= 0.0) & active_n
+        xlo_out = jnp.where(go_lo, soln_out, xlo_c)
+        xhi_out = jnp.where(go_hi, soln_out, xhi_c)
+        return (soln_out, xlo_out, xhi_out, f_out, df_out, dx_out,
+                dxold_out, active_n, it + 1)
+
+    soln, *_ = jax.lax.while_loop(
+        iter_cond, iter_body,
+        (soln0, xlo, xhi, f0, df0, dxold0, dxold0, active0,
+         jnp.asarray(0, jnp.int32)))
+    return soln
+
+
+def _to_mass_units(dic_in, ta_in, pt_in, sit_in):
+    """Floor tracers and convert (mmol/m^3) -> (mol/kg) (comp_htotal,
+    co2calc.F90:843-846)."""
+    dic = jnp.maximum(dic_in, DIC_MIN) * VOL_TO_MASS
+    ta = jnp.maximum(ta_in, ALK_MIN) * VOL_TO_MASS
+    pt = jnp.maximum(pt_in, 0.0) * VOL_TO_MASS
+    sit = jnp.maximum(sit_in, 0.0) * VOL_TO_MASS
+    return dic, ta, pt, sit
+
+
+def comp_htotal(coeffs: CarbCoeffs, dic_in, ta_in, pt_in, sit_in,
+                phlo, phhi):
+    """Solve for free H+ from (DIC, TA) with a pH bracket
+    (comp_htotal, co2calc.F90:781-868)."""
+    dic, ta, pt, sit = _to_mass_units(dic_in, ta_in, pt_in, sit_in)
+    x1 = 10.0 ** (-phhi)
+    x2 = 10.0 ** (-phlo)
+    htotal = solve_htotal(coeffs, dic, ta, pt, sit, x1, x2)
+    return htotal, dic
+
+
+def co3_terms(depth_m, temp, salt, dic_in, ta_in, pt_in, sit_in,
+              phlo, phhi, apply_pressure):
+    """Carbonate speciation H2CO3/HCO3/CO3 + pH (comp_CO3terms,
+    co2calc.F90:214-316). Returns concentrations in mmol/m^3."""
+    coeffs = carbonate_coeffs(depth_m, temp, salt, apply_pressure,
+                              k1_k2_ph_tot=True)
+    htotal, dic = comp_htotal(coeffs, dic_in, ta_in, pt_in, sit_in,
+                              phlo, phhi)
+    htotal2 = htotal ** 2
+    denom = 1.0 / (htotal2 + coeffs.k1 * htotal + coeffs.k1 * coeffs.k2)
+    h2co3 = dic * htotal2 * denom * MASS_TO_VOL
+    hco3 = dic * coeffs.k1 * htotal * denom * MASS_TO_VOL
+    co3 = dic * coeffs.k1 * coeffs.k2 * denom * MASS_TO_VOL
+    ph = -jnp.log10(htotal)
+    return ph, h2co3, hco3, co3
+
+
+def co2calc_surface(depth_m, temp, salt, dic_in, ta_in, pt_in, sit_in,
+                    phlo, phhi, xco2_in, atmpres, *,
+                    locmip_k1_k2_bug_fix=True):
+    """Surface CO2* / delta-CO2* / pCO2 (co2calc_1point, co2calc.F90:75-210).
+
+    Always the surface level: no pressure corrections (reference passes
+    k = 1).  Returns (ph, co2star, dco2star, pco2surf, dpco2) with co2star
+    terms in mmol/m^3 and pCO2 in ppmv.
+    """
+    coeffs = carbonate_coeffs(depth_m, temp, salt, False,
+                              k1_k2_ph_tot=locmip_k1_k2_bug_fix)
+    htotal, dic = comp_htotal(coeffs, dic_in, ta_in, pt_in, sit_in,
+                              phlo, phhi)
+    xco2 = xco2_in * 1e-6
+    htotal2 = htotal ** 2
+    co2star = dic * htotal2 / (htotal2 + coeffs.k1 * htotal
+                               + coeffs.k1 * coeffs.k2)
+    co2starair = xco2 * coeffs.ff * atmpres
+    dco2star = co2starair - co2star
+    ph = -jnp.log10(htotal)
+    pco2surf = co2star / coeffs.ff
+    dpco2 = pco2surf - xco2 * atmpres
+    return (ph,
+            co2star * MASS_TO_VOL,
+            dco2star * MASS_TO_VOL,
+            pco2surf * 1e6,
+            dpco2 * 1e6)
+
+
+def co3_sat_vals(depth_m, temp, salt, apply_pressure):
+    """CO3= concentration at calcite and aragonite saturation
+    (comp_co3_sat_vals, co2calc.F90:1096-1238); Mucci 1983 solubilities
+    with Millero 1979 pressure corrections.  Returns mmol/m^3."""
+    press = press_bar_from_depth(depth_m)
+    apply_pressure = jnp.asarray(apply_pressure)
+
+    salt_lim = jnp.maximum(salt, SALT_MIN)
+    tk = T0_KELVIN + temp
+    log10tk = jnp.log(tk) / _LN10
+    invtk = 1.0 / tk
+    invRtk = INV_R_GAS * invtk
+    sqrts = jnp.sqrt(salt_lim)
+    s15 = sqrts * salt_lim
+
+    k_calc = jnp.exp(_LN10 * (
+        -171.9065 - 0.077993 * tk + 2839.319 * invtk + 71.595 * log10tk
+        + (-0.77712 + 0.0028426 * tk + 178.34 * invtk) * sqrts
+        - 0.07711 * salt_lim + 0.0041249 * s15))
+    deltaV_calc = -48.76 + 0.5304 * temp
+    kappa = (-11.76 + 0.3692 * temp) * 1e-3
+    kfac_calc = _pressure_factor(deltaV_calc, kappa, press, invRtk)
+    k_calc = jnp.where(apply_pressure, k_calc * kfac_calc, k_calc)
+
+    k_arag = jnp.exp(_LN10 * (
+        -171.945 - 0.077993 * tk + 2903.293 * invtk + 71.595 * log10tk
+        + (-0.068393 + 0.0017276 * tk + 88.135 * invtk) * sqrts
+        - 0.10018 * salt_lim + 0.0059415 * s15))
+    # the reference reuses the calcite correction with deltaV shifted by
+    # +2.8 and the same kappa (co2calc.F90:1212-1221)
+    kfac_arag = _pressure_factor(deltaV_calc + 2.8, kappa, press, invRtk)
+    k_arag = jnp.where(apply_pressure, k_arag * kfac_arag, k_arag)
+
+    inv_ca = (35.0 / 0.01028) / salt_lim
+    co3_sat_calc = k_calc * inv_ca * MASS_TO_VOL
+    co3_sat_arag = k_arag * inv_ca * MASS_TO_VOL
+    return co3_sat_calc, co3_sat_arag

@@ -1,0 +1,158 @@
+"""Carbonate chemistry: JAX kernels vs the independent scipy/brentq oracle."""
+
+import numpy as np
+import pytest
+
+import ocean_bgc_tpu  # noqa: F401  (enables x64)
+import jax.numpy as jnp
+
+from ocean_bgc_tpu.ops import carbonate as carb
+from tests.oracle import carbonate_ref as ref
+
+
+def _random_cells(rng, n):
+    return dict(
+        depth_m=rng.uniform(0.0, 5000.0, n),
+        temp=rng.uniform(-1.8, 32.0, n),
+        salt=rng.uniform(30.0, 40.0, n),
+        dic=rng.uniform(1700.0, 2400.0, n),
+        alk=rng.uniform(2000.0, 2500.0, n),
+        po4=rng.uniform(0.0, 3.5, n),
+        sio3=rng.uniform(0.0, 180.0, n),
+    )
+
+
+def test_equilibrium_constants_match_oracle(rng):
+    cells = _random_cells(rng, 64)
+    for subsurface in (False, True):
+        got = carb.carbonate_coeffs(
+            jnp.asarray(cells["depth_m"]), jnp.asarray(cells["temp"]),
+            jnp.asarray(cells["salt"]), subsurface)
+        for i in range(0, 64, 7):
+            want = ref.equilibrium_constants(
+                cells["depth_m"][i], cells["temp"][i], cells["salt"][i],
+                subsurface)
+            for field in ("k0", "k1", "k2", "ff", "kb", "k1p", "k2p", "k3p",
+                          "ksi", "kw", "ks", "kf", "bt", "st", "ft"):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(got, field))[i], getattr(want, field),
+                    rtol=1e-12, err_msg=f"{field} subsurface={subsurface}")
+
+
+def test_ph_solver_matches_brentq(rng):
+    n = 256
+    cells = _random_cells(rng, n)
+    phlo = np.full(n, 6.0)
+    phhi = np.full(n, 9.0)
+    ph, h2co3, hco3, co3 = carb.co3_terms(
+        jnp.asarray(cells["depth_m"]), jnp.asarray(cells["temp"]),
+        jnp.asarray(cells["salt"]), jnp.asarray(cells["dic"]),
+        jnp.asarray(cells["alk"]), jnp.asarray(cells["po4"]),
+        jnp.asarray(cells["sio3"]), jnp.asarray(phlo), jnp.asarray(phhi),
+        True)
+    ph, h2co3, hco3, co3 = map(np.asarray, (ph, h2co3, hco3, co3))
+    for i in range(n):
+        want = ref.co3_terms(
+            cells["depth_m"][i], cells["temp"][i], cells["salt"][i],
+            cells["dic"][i], cells["alk"][i], cells["po4"][i],
+            cells["sio3"][i], phlo[i], phhi[i], True)
+        # the solver tolerance xacc=1e-10 is absolute in H (mol/kg), so
+        # assert in H-space and propagate dH into the speciation terms
+        h_got = 10.0 ** (-ph[i])
+        h_want = 10.0 ** (-want[0])
+        np.testing.assert_allclose(h_got, h_want, rtol=1e-5, atol=1.5e-10)
+        dh_rel = (abs(h_got - h_want) + 1e-13) / h_want
+        np.testing.assert_allclose(h2co3[i], want[1], rtol=3 * dh_rel + 1e-9)
+        np.testing.assert_allclose(hco3[i], want[2], rtol=2 * dh_rel + 1e-9)
+        np.testing.assert_allclose(co3[i], want[3], rtol=3 * dh_rel + 1e-9)
+
+
+def test_ph_solver_warm_start_consistency(rng):
+    """Warm-started (narrow bracket) and cold solves agree to solver tol."""
+    n = 128
+    cells = _random_cells(rng, n)
+    args = (jnp.asarray(cells["depth_m"]), jnp.asarray(cells["temp"]),
+            jnp.asarray(cells["salt"]), jnp.asarray(cells["dic"]),
+            jnp.asarray(cells["alk"]), jnp.asarray(cells["po4"]),
+            jnp.asarray(cells["sio3"]))
+    ph_cold, *_ = carb.co3_terms(*args, jnp.full(n, 6.0), jnp.full(n, 9.0),
+                                 True)
+    ph_warm, *_ = carb.co3_terms(*args, ph_cold - 0.2, ph_cold + 0.2, True)
+    h_cold = 10.0 ** (-np.asarray(ph_cold))
+    h_warm = 10.0 ** (-np.asarray(ph_warm))
+    np.testing.assert_allclose(h_warm, h_cold, rtol=1e-5, atol=3e-10)
+
+
+def test_solver_residual_is_zero(rng):
+    """The returned htotal satisfies the TA equation to ~machine level."""
+    n = 128
+    cells = _random_cells(rng, n)
+    coeffs = carb.carbonate_coeffs(
+        jnp.asarray(cells["depth_m"]), jnp.asarray(cells["temp"]),
+        jnp.asarray(cells["salt"]), True)
+    htotal, dic = carb.comp_htotal(
+        coeffs, jnp.asarray(cells["dic"]), jnp.asarray(cells["alk"]),
+        jnp.asarray(cells["po4"]), jnp.asarray(cells["sio3"]),
+        jnp.full(n, 6.0), jnp.full(n, 9.0))
+    ta = jnp.maximum(jnp.asarray(cells["alk"]), carb.ALK_MIN) * carb.VOL_TO_MASS
+    pt = jnp.asarray(cells["po4"]) * carb.VOL_TO_MASS
+    sit = jnp.asarray(cells["sio3"]) * carb.VOL_TO_MASS
+    fn, df = carb.talk(coeffs, dic, ta, pt, sit, htotal)
+    # |fn/df| is the Newton step at the solution: below xacc by construction
+    np.testing.assert_array_less(np.abs(np.asarray(fn / df)), 1.5e-10)
+
+
+def test_co2calc_surface_matches_oracle(rng):
+    n = 128
+    cells = _random_cells(rng, n)
+    xco2 = rng.uniform(280.0, 1200.0, n)
+    atm = rng.uniform(0.95, 1.05, n)
+    got = carb.co2calc_surface(
+        jnp.zeros(n), jnp.asarray(cells["temp"]), jnp.asarray(cells["salt"]),
+        jnp.asarray(cells["dic"]), jnp.asarray(cells["alk"]),
+        jnp.asarray(cells["po4"]), jnp.asarray(cells["sio3"]),
+        jnp.full(n, 7.0), jnp.full(n, 9.0),
+        jnp.asarray(xco2), jnp.asarray(atm))
+    got = [np.asarray(g) for g in got]
+    for i in range(n):
+        want = ref.co2calc_surface(
+            0.0, cells["temp"][i], cells["salt"][i], cells["dic"][i],
+            cells["alk"][i], cells["po4"][i], cells["sio3"][i],
+            7.0, 9.0, xco2[i], atm[i])
+        h_got = 10.0 ** (-got[0][i])
+        h_want = 10.0 ** (-want[0])
+        np.testing.assert_allclose(h_got, h_want, rtol=1e-5, atol=1.5e-10)
+        dh_rel = (abs(h_got - h_want) + 1e-13) / h_want
+        tol = 3 * dh_rel + 1e-9
+        np.testing.assert_allclose(got[1][i], want[1], rtol=tol)    # co2*
+        np.testing.assert_allclose(got[2][i], want[2], rtol=tol,
+                                   atol=tol * abs(want[1]))         # dco2*
+        np.testing.assert_allclose(got[3][i], want[3], rtol=tol)    # pCO2
+        np.testing.assert_allclose(got[4][i], want[4], rtol=tol,
+                                   atol=tol * abs(want[3]))         # dpCO2
+
+
+def test_co3_sat_matches_oracle(rng):
+    n = 64
+    cells = _random_cells(rng, n)
+    for subsurface in (False, True):
+        calc, arag = carb.co3_sat_vals(
+            jnp.asarray(cells["depth_m"]), jnp.asarray(cells["temp"]),
+            jnp.asarray(cells["salt"]), subsurface)
+        calc, arag = np.asarray(calc), np.asarray(arag)
+        for i in range(0, n, 5):
+            want_c, want_a = ref.co3_sat(
+                cells["depth_m"][i], cells["temp"][i], cells["salt"][i],
+                subsurface)
+            np.testing.assert_allclose(calc[i], want_c, rtol=1e-12)
+            np.testing.assert_allclose(arag[i], want_a, rtol=1e-12)
+
+
+def test_tracer_floors():
+    """Near-zero DIC/ALK engage the documented floors instead of diverging."""
+    ph, h2co3, hco3, co3 = carb.co3_terms(
+        jnp.zeros(1), jnp.asarray([10.0]), jnp.asarray([35.0]),
+        jnp.asarray([0.0]), jnp.asarray([0.0]), jnp.asarray([0.0]),
+        jnp.asarray([0.0]), jnp.asarray([6.0]), jnp.asarray([9.0]), False)
+    assert np.isfinite(np.asarray(ph)).all()
+    assert np.asarray(hco3)[0] > 0.0

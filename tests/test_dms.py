@@ -1,0 +1,58 @@
+"""DMS kernel vs the scalar oracle (exercises the PAR scan carry)."""
+
+import numpy as np
+
+import ocean_bgc_tpu  # noqa: F401
+import jax.numpy as jnp
+
+from ocean_bgc_tpu.ops.dms import dms_source_sink
+from ocean_bgc_tpu.params import DMSParams
+from ocean_bgc_tpu.state import DMSTracers as DT
+from tests.oracle import trace_gas_ref as ref
+
+
+def _setup(rng, nlev=20, ncol=33):
+    tracers = rng.uniform(0.0, 2.0, (nlev, DT.CNT, ncol))
+    tracers[:, DT.DMS] *= 0.01
+    tracers[:, DT.DMSP] *= 0.01
+    tracers[2, :, 1] = -1.0                      # clip path
+    dz = rng.uniform(500.0, 2000.0, (nlev, ncol))   # cm
+    kmax = rng.integers(1, nlev + 1, ncol)
+    kmax[0] = 0                                  # a land column
+    kmax[ncol - 1] = nlev
+    sst = rng.uniform(-1.8, 30.0, ncol)
+    sst[1] = 0.5     # cryoprotection window
+    sst[2] = -1.5    # deep-cold override
+    sst[3] = 17.0    # mid fuzzy-interp range
+    sw = rng.uniform(0.0, 350.0, ncol)
+    return tracers, dz, kmax, sst, sw
+
+
+def test_dms_matches_oracle(rng):
+    tracers, dz, kmax, sst, sw = _setup(rng)
+    params = DMSParams()
+    nlev, ncol = tracers.shape[0], tracers.shape[2]
+    active = np.arange(nlev)[:, None] < kmax[None, :]
+    tend, diags = dms_source_sink(
+        jnp.asarray(tracers), jnp.asarray(dz), jnp.asarray(active),
+        jnp.asarray(sst), jnp.asarray(sw), params)
+    want_tend, want_diags = ref.dms_source_sink(tracers, dz, kmax, sst, sw,
+                                                params)
+    np.testing.assert_allclose(np.asarray(tend), want_tend, rtol=1e-12,
+                               atol=1e-22)
+    np.testing.assert_allclose(np.asarray(diags["phytoN"]),
+                               want_diags["phytoN"], rtol=1e-13, atol=1e-22)
+    np.testing.assert_allclose(np.asarray(diags["zooS"]),
+                               want_diags["zooS"], rtol=1e-12, atol=1e-22)
+
+
+def test_dms_diag_registry_complete(rng):
+    tracers, dz, kmax, sst, sw = _setup(rng, nlev=4, ncol=5)
+    params = DMSParams()
+    active = np.arange(4)[:, None] < kmax[None, :]
+    _, diags = dms_source_sink(
+        jnp.asarray(tracers), jnp.asarray(dz), jnp.asarray(active),
+        jnp.asarray(sst), jnp.asarray(sw), params)
+    from ocean_bgc_tpu.ops.dms import DMS_DIAG_NAMES
+    assert set(diags) == set(DMS_DIAG_NAMES)
+    assert len(DMS_DIAG_NAMES) == 27   # DMS_parms.F90:125-154
