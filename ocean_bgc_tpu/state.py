@@ -207,8 +207,12 @@ class ColumnGrid:
 @dataclasses.dataclass(frozen=True)
 class BGCForcing:
     """Surface and climatological forcing (BGC_forcing_type,
-    BGC_parms.F90:139-165). Flux component arrays are (ntracer, ncol)."""
+    BGC_parms.F90:139-165) plus the hydrography (T, S) that the reference
+    carries on BGC_input (BGC_parms.F90:131).  Flux component arrays are
+    (ntracer, ncol)."""
 
+    potential_temperature: jax.Array   # (nlev, ncol) C
+    salinity: jax.Array                # (nlev, ncol) psu
     dust_flux_in: jax.Array            # (ncol,)
     shortwave_surface: jax.Array       # (ncol,) W/m^2
     surface_pressure: jax.Array        # (ncol,) atm
