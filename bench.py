@@ -1,0 +1,92 @@
+"""Flagship benchmark: columns/s/chip for the full coupled step (float64).
+
+Measures the complete BGC+DMS+MACROS+co2calc forward step — two carbonate
+pH solves per cell, the ballast sinking recurrence, all 30+2+3 tracer
+tendencies, forward-Euler update, and surface gas exchange — on the
+default backend (TPU under the driver; CPU otherwise).
+
+``vs_baseline`` reports the speedup over the same float64 physics executed
+on one host-CPU device — the stand-in for the reference's serial Fortran
+per-rank execution model (the reference publishes no numbers and this
+image has no Fortran compiler; BASELINE.md).
+
+Env knobs: BENCH_NCOL, BENCH_NLEV, BENCH_STEPS, BENCH_REPEATS,
+BENCH_DIAGS=1 (include the ~95-field diagnostic outputs in the step).
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+
+
+def _throughput(device, ncol, nlev, nsteps, repeats, compute_diags):
+    from ocean_bgc_tpu.models.coupled import step
+    from ocean_bgc_tpu.params import ModelParams
+    from ocean_bgc_tpu.utils.synthetic import synthetic_world
+
+    params = ModelParams()
+    state, grid, forcing = synthetic_world(nlev=nlev, ncol=ncol, seed=17,
+                                           ragged=False)
+    state, grid, forcing = jax.device_put((state, grid, forcing), device)
+
+    def many(state):
+        def body(s, _):
+            s2, _ = step(s, grid, forcing, params, 3600.0,
+                         compute_diags=compute_diags)
+            return s2, None
+        out, _ = jax.lax.scan(body, state, None, length=nsteps)
+        return out
+
+    fn = jax.jit(many)
+    out = fn(state)                      # compile + warm up
+    jax.block_until_ready(out)
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn(state)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return ncol * nsteps / best
+
+
+def main():
+    import ocean_bgc_tpu  # noqa: F401  (enables x64)
+
+    ncol = int(os.environ.get("BENCH_NCOL", "8192"))
+    nlev = int(os.environ.get("BENCH_NLEV", "60"))
+    nsteps = int(os.environ.get("BENCH_STEPS", "10"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    diags = os.environ.get("BENCH_DIAGS", "0") == "1"
+
+    device = jax.devices()[0]
+    value = _throughput(device, ncol, nlev, nsteps, repeats, diags)
+
+    # host-CPU baseline (serial-Fortran stand-in): same physics, one CPU
+    # device, smaller column count for wall-clock sanity
+    try:
+        cpu = jax.devices("cpu")[0]
+        cpu_ncol = min(ncol, 512)
+        cpu_value = _throughput(cpu, cpu_ncol, nlev, max(2, nsteps // 5),
+                                1, diags)
+        vs_baseline = value / cpu_value
+    except Exception:
+        vs_baseline = 1.0
+
+    print(json.dumps({
+        "metric": "columns_per_s_per_chip_full_coupled_step_f64"
+                  + ("_with_diags" if diags else ""),
+        "value": round(value, 2),
+        "unit": "columns/s/chip (60-level, 35-tracer step)",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""The coupled column model: BGC + DMS + MACROS over one shared tracer state.
+
+The reference is a tendency library — the host ocean model owns time
+stepping (SURVEY.md par.0).  This module is the framework's "host": a pure
+``step(state, grid, forcing, params, dt)`` that
+
+1. computes air-sea fluxes (BGC O2/CO2 + DMS), threading the surface-pH
+   warm-start state (BGC_mod.F90:2872-2914),
+2. evaluates all three source-sink kernels — the DMS/MACROS kernels read
+   their ecosystem driver fields as views of the shared BGC tracer block
+   (the host-side tracer aliasing of DMS_parms.F90:63-77,
+   MACROS_parms.F90:62-71),
+3. advances tracers forward-Euler, depositing surface fluxes into the top
+   active cell,
+
+and is a single jit/scan-able unit: ``run(state, ..., nsteps)`` compiles
+the whole integration into one XLA program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ocean_bgc_tpu.ops.bgc import bgc_source_sink
+from ocean_bgc_tpu.ops.dms import dms_source_sink
+from ocean_bgc_tpu.ops.macros import macros_source_sink
+from ocean_bgc_tpu.ops.surface import bgc_surface_fluxes, dms_surface_fluxes
+from ocean_bgc_tpu.params import ModelParams
+from ocean_bgc_tpu.state import (
+    BGCForcing,
+    BGCState,
+    BGCTracers as BT,
+    ColumnGrid,
+    DMSTracers as DT,
+    MACROSTracers as MT,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CoupledState:
+    """Prognostic state of the coupled model: the 30 BGC tracers with their
+    pH warm-start fields, plus DMS/DMSP and PROT/POLY/LIP."""
+
+    bgc: BGCState
+    dms: jax.Array        # (nlev, 2, ncol): DMS, DMSP
+    macros: jax.Array     # (nlev, 3, ncol): PROT, POLY, LIP
+
+
+def dms_tracer_block(state: CoupledState) -> jax.Array:
+    """Assemble the 14-tracer DMS input block: 2 prognostic sulfur tracers
+    + 12 read-only views of the ecosystem state."""
+    b = state.bgc.tracers
+    rows = [
+        state.dms[:, 0], state.dms[:, 1],
+        b[:, BT.NO3], b[:, BT.DOC], b[:, BT.ZOOC], b[:, BT.SPC],
+        b[:, BT.SPCACO3], b[:, BT.DIATC], b[:, BT.DIAZC], b[:, BT.PHAEOC],
+        b[:, BT.SPCHL], b[:, BT.DIATCHL], b[:, BT.DIAZCHL],
+        b[:, BT.PHAEOCHL],
+    ]
+    return jnp.stack(rows, axis=1)
+
+
+def macros_tracer_block(state: CoupledState) -> jax.Array:
+    """Assemble the 8-tracer MACROS input block."""
+    b = state.bgc.tracers
+    rows = [
+        state.macros[:, 0], state.macros[:, 1], state.macros[:, 2],
+        b[:, BT.ZOOC], b[:, BT.SPC], b[:, BT.DIATC], b[:, BT.DIAZC],
+        b[:, BT.PHAEOC],
+    ]
+    return jnp.stack(rows, axis=1)
+
+
+def step(
+    state: CoupledState,
+    grid: ColumnGrid,
+    forcing: BGCForcing,
+    params: ModelParams,
+    dt: float,
+    *,
+    compute_diags: bool = True,
+) -> Tuple[CoupledState, Dict[str, jax.Array]]:
+    """One coupled forward-Euler timestep. Returns (state', diagnostics)."""
+
+    active = grid.active_mask()                       # (nlev, ncol)
+    has_ocean = grid.kmax > 0                         # (ncol,)
+    top_dzr = 1.0 / grid.cell_thickness[0]            # (ncol,)
+
+    # ---- 1. surface fluxes ----
+    sflux = bgc_surface_fluxes(
+        state.bgc.tracers, forcing,
+        state.bgc.surface_ph, state.bgc.surface_ph_alt, params.bgc)
+    dflux = dms_surface_fluxes(
+        state.dms[0, 0], forcing.sst, forcing.sss, forcing.ice_fraction,
+        forcing.wind_speed_squared_10m, forcing.surface_pressure,
+        params.dms)
+
+    # ---- 2. interior tendencies ----
+    bgc_out = bgc_source_sink(
+        state.bgc.tracers, grid, forcing,
+        state.bgc.ph_prev_3d, state.bgc.ph_prev_alt_3d, params.bgc,
+        compute_diags=compute_diags)
+    dms_tend, dms_diags = dms_source_sink(
+        dms_tracer_block(state), grid.cell_thickness, active,
+        forcing.sst, forcing.shortwave_surface, params.dms)
+    mac_tend, mac_diags = macros_source_sink(
+        macros_tracer_block(state), active, params.macros)
+
+    # ---- 3. forward-Euler update ----
+    bgc_new = state.bgc.tracers + dt * bgc_out.tendencies
+    surf_src = jnp.where(has_ocean, dt * top_dzr, 0.0)  # (ncol,)
+    bgc_new = bgc_new.at[0].add(surf_src[None, :] * sflux.net_flux)
+
+    dms_new = state.dms + dt * dms_tend[:, (DT.DMS, DT.DMSP)]
+    dms_new = dms_new.at[0, 0].add(surf_src * dflux.dms_flux)
+    dms_new = dms_new.at[0, 1].add(surf_src * dflux.dmsp_flux)
+
+    mac_new = state.macros + dt * mac_tend[:, (MT.PROT, MT.POLY, MT.LIP)]
+
+    new_state = CoupledState(
+        bgc=BGCState(
+            tracers=bgc_new,
+            ph_prev_3d=bgc_out.ph_prev_3d,
+            ph_prev_alt_3d=bgc_out.ph_prev_alt_3d,
+            surface_ph=jnp.where(has_ocean, sflux.surface_ph,
+                                 state.bgc.surface_ph),
+            surface_ph_alt=jnp.where(has_ocean, sflux.surface_ph_alt,
+                                     state.bgc.surface_ph_alt),
+        ),
+        dms=dms_new,
+        macros=mac_new,
+    )
+
+    diags: Dict[str, jax.Array] = {}
+    if compute_diags:
+        diags.update(bgc_out.diags)
+        diags.update({f"DMS_{k}" if not k.startswith("DMS") else k: v
+                      for k, v in dms_diags.items()})
+        diags.update({f"MACROS_{k}": v for k, v in mac_diags.items()})
+        diags.update(sflux.diags)
+        diags.update(dflux.diags)
+        diags["netFlux"] = sflux.net_flux
+    return new_state, diags
+
+
+def run(
+    state: CoupledState,
+    grid: ColumnGrid,
+    forcing: BGCForcing,
+    params: ModelParams,
+    dt: float,
+    nsteps: int,
+    *,
+    compute_diags: bool = False,
+) -> Tuple[CoupledState, Dict[str, jax.Array]]:
+    """Integrate ``nsteps`` with constant forcing as one compiled scan.
+    Returns the final state and the final step's diagnostics."""
+
+    def body(s, _):
+        s2, d = step(s, grid, forcing, params, dt,
+                     compute_diags=compute_diags)
+        return s2, None
+
+    final, _ = jax.lax.scan(body, state, None, length=nsteps)
+    if compute_diags:
+        # re-evaluate diagnostics at the final state (cheap relative to
+        # carrying every step's diagnostics through the scan)
+        _, diags = step(final, grid, forcing, params, dt,
+                        compute_diags=True)
+    else:
+        diags = {}
+    return final, diags

@@ -828,9 +828,11 @@ def bgc_source_sink(
         ys = (tend_arr, ph_new, ph_alt_new, ys_diags, jint)
         return new_carry, ys
 
-    zsat0 = jnp.zeros((ncol,))
+    # derive the zero carries from a varying array so the scan carry keeps
+    # a consistent sharding under shard_map
+    zsat0 = jnp.zeros_like(par_surf)
     carry0 = (par_surf, particle0, zsat0, zsat0,
-              jnp.zeros((ncol,)), jnp.zeros((ncol,)))
+              jnp.zeros_like(par_surf), jnp.zeros_like(par_surf))
     final_carry, (tend_all, ph_new_all, ph_alt_all, diags_lvl,
                   jint_lvl) = jax.lax.scan(level_step, carry0, xs)
 

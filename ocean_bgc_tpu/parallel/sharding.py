@@ -1,0 +1,132 @@
+"""Multi-chip scaling: column sharding over a device mesh.
+
+The reference library is serial per MPI rank; its host model shards the
+horizontal grid and calls the column physics on local blocks (SURVEY.md
+par.2, "Parallelism components").  The TPU-native equivalent replaces that
+MPI decomposition with a 1-D ``jax.sharding.Mesh`` over a ``columns``
+axis:
+
+* every state/grid/forcing array carries its columns on the LAST axis, so
+  one ``NamedSharding(P(..., 'columns'))`` rule shards the whole model;
+* the step function needs ZERO collectives — columns never communicate
+  (the only cross-cell coupling is vertical, which stays on-chip inside
+  the level scan);
+* the only traffic that crosses ICI/DCN is the global reduction of scalar
+  monitoring diagnostics (the Jint conservation sums and global means),
+  one ``psum`` per step, issued from inside ``shard_map``.
+
+This is the whole scaling story — by design.  Columns are an
+embarrassingly-parallel data axis; weak scaling is limited only by the
+per-step psum latency, hence the >90% scaling-efficiency target.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ocean_bgc_tpu.models.coupled import CoupledState, step
+from ocean_bgc_tpu.params import ModelParams
+from ocean_bgc_tpu.state import BGCForcing, ColumnGrid
+
+COLUMNS = "columns"
+
+# diagnostics whose global sums a host model monitors every step
+GLOBAL_SUM_DIAGS = (
+    "Jint_Ctot", "Jint_Ntot", "Jint_Ptot", "Jint_Sitot",
+    "photoC_TOT_zint", "tot_CaCO3_form_zint",
+)
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """A 1-D mesh over all (or the given) devices, axis name 'columns'."""
+    import numpy as np
+    devs = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devs), (COLUMNS,))
+
+
+def _col_spec(arr: jax.Array) -> P:
+    """Shard the trailing (columns) axis, replicate the rest."""
+    return P(*([None] * (arr.ndim - 1) + [COLUMNS]))
+
+
+def col_sharding_tree(tree, mesh: Mesh):
+    """A matching pytree of NamedShardings (columns on the last axis)."""
+    return jax.tree.map(
+        lambda x: NamedSharding(mesh, _col_spec(x)), tree)
+
+
+def shard_world(state: CoupledState, grid: ColumnGrid, forcing: BGCForcing,
+                mesh: Mesh):
+    """Place the model state/grid/forcing across the mesh."""
+    put = lambda tree: jax.device_put(tree, col_sharding_tree(tree, mesh))  # noqa: E731
+    return put(state), put(grid), put(forcing)
+
+
+def make_sharded_step(mesh: Mesh, params: ModelParams, dt: float, *,
+                      compute_diags: bool = False, nsteps: int = 1):
+    """Build the distributed step: ``shard_map`` of the column physics over
+    the mesh plus the psum'd global monitoring reductions.
+
+    Returns a jitted ``fn(state, grid, forcing) -> (state', global_diags)``
+    where ``global_diags`` maps each GLOBAL_SUM_DIAGS name to a replicated
+    scalar (the cross-chip sum) — the only collective in the program.
+    """
+
+    def local_step(state, grid, forcing):
+        for _ in range(nsteps - 1):
+            state, _ = step(state, grid, forcing, params, dt,
+                            compute_diags=False)
+        new_state, diags = step(state, grid, forcing, params, dt,
+                                compute_diags=compute_diags)
+        if compute_diags:
+            global_diags = {
+                name: jax.lax.psum(jnp.sum(diags[name]), COLUMNS)
+                for name in GLOBAL_SUM_DIAGS
+            }
+        else:
+            global_diags = {}
+        return new_state, global_diags
+
+    def specs_like(tree):
+        return jax.tree.map(_col_spec, tree)
+
+    def fn(state, grid, forcing):
+        mapped = jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(specs_like(state), specs_like(grid),
+                      specs_like(forcing)),
+            out_specs=(specs_like(state),
+                       {name: P() for name in GLOBAL_SUM_DIAGS}
+                       if compute_diags else {}),
+        )
+        return mapped(state, grid, forcing)
+
+    return jax.jit(fn)
+
+
+def make_pjit_step(mesh: Mesh, params: ModelParams, dt: float, *,
+                   compute_diags: bool = False):
+    """The compiler-driven alternative: jit with sharding constraints and
+    let XLA propagate the partitioning (GSPMD).  Produces the same
+    program as :func:`make_sharded_step` for this model — useful as an
+    A/B check that manual and automatic partitioning agree."""
+
+    @partial(jax.jit, static_argnums=())
+    def fn(state, grid, forcing):
+        state = jax.lax.with_sharding_constraint(
+            state, col_sharding_tree(state, mesh))
+        new_state, diags = step(state, grid, forcing, params, dt,
+                                compute_diags=compute_diags)
+        if compute_diags:
+            global_diags = {name: jnp.sum(diags[name])
+                            for name in GLOBAL_SUM_DIAGS}
+        else:
+            global_diags = {}
+        return new_state, global_diags
+
+    return fn

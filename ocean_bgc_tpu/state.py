@@ -180,7 +180,9 @@ class ColumnGrid:
 
     ``kmax`` is the per-column count of active levels; the ragged depth
     dimension of the reference (``number_of_active_levels``) becomes a
-    dense mask in compute.
+    dense mask in compute.  Contract: ``0 <= kmax <= nlev`` — a column
+    whose kmax exceeded nlev would never trigger the bottom-cell
+    burial/remineralization path and would silently leak sinking flux.
     """
 
     cell_center_depth: jax.Array   # (nlev, ncol) cm
@@ -231,6 +233,7 @@ class BGCForcing:
     deposition_flux: jax.Array         # (ntracer, ncol)
     river_flux: jax.Array              # (ntracer, ncol)
     seaice_flux: jax.Array             # (ntracer, ncol)
+    gas_flux: jax.Array                # (ntracer, ncol) host-supplied base
 
 
 @jax.tree_util.register_dataclass

@@ -84,6 +84,7 @@ def make_inputs(rng, nlev=8, ncol=6, lrest=False):
         deposition_flux=jnp.zeros((T.CNT, ncol)),
         river_flux=jnp.zeros((T.CNT, ncol)),
         seaice_flux=jnp.zeros((T.CNT, ncol)),
+        gas_flux=jnp.zeros((T.CNT, ncol)),
     )
     params = BGCParams(lrest_po4=lrest, lrest_no3=lrest, lrest_sio3=lrest)
     ph_prev = np.zeros((nlev, ncol))

@@ -1,0 +1,88 @@
+"""Coupled model integration: stability, state threading, physical sanity."""
+
+import numpy as np
+
+import ocean_bgc_tpu  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from ocean_bgc_tpu.models.coupled import run, step
+from ocean_bgc_tpu.params import ModelParams
+from ocean_bgc_tpu.state import BGCTracers as T
+from ocean_bgc_tpu.utils.synthetic import synthetic_world
+
+DT = 3600.0  # 1 h
+
+
+def test_single_step_updates_state():
+    state, grid, forcing, = synthetic_world(nlev=20, ncol=64, seed=3)
+    params = ModelParams()
+    new, diags = step(state, grid, forcing, params, DT)
+    assert np.isfinite(np.asarray(new.bgc.tracers)).all()
+    # warm-start pH fields populated on active cells
+    active = np.asarray(grid.active_mask())
+    ph = np.asarray(new.bgc.ph_prev_3d)
+    assert (ph[active] > 6.0).all() and (ph[active] < 9.5).all()
+    # land columns untouched
+    kmax = np.asarray(grid.kmax)
+    land = kmax == 0
+    if land.any():
+        np.testing.assert_array_equal(
+            np.asarray(new.bgc.tracers)[:, :, land],
+            np.asarray(state.bgc.tracers)[:, :, land])
+    # surface CO2 diags present and plausible
+    pco2 = np.asarray(diags["pco2surf"])[~land]
+    assert (pco2 > 100.0).all() and (pco2 < 1200.0).all()
+
+
+def test_multi_step_run_is_stable():
+    state, grid, forcing = synthetic_world(nlev=16, ncol=32, seed=4)
+    params = ModelParams()
+    final, diags = jax.jit(
+        lambda s: run(s, grid, forcing, params, DT, 48,
+                      compute_diags=True))(state)
+    trc = np.asarray(final.bgc.tracers)
+    assert np.isfinite(trc).all()
+    active = np.asarray(grid.active_mask())
+    # prognostic fields remain in physical ranges after 2 days
+    assert (trc[:, T.DIC][active] > 1500.0).all()
+    assert (trc[:, T.DIC][active] < 3000.0).all()
+    assert (trc[:, T.O2][active] > -1.0).all()
+    assert np.isfinite(np.asarray(final.dms)).all()
+    assert np.isfinite(np.asarray(final.macros)).all()
+    # conservation closure holds at the final state too
+    scale = float(np.abs(np.asarray(diags["photoC_TOT_zint"])).max()) + 1e-30
+    assert np.abs(np.asarray(diags["Jint_Ctot"])).max() < 1e-9 * scale + 1e-17
+
+
+def test_warm_start_threading():
+    """After one step every active cell carries a pH warm start, and the
+    second step's solve returns nearly the same pH (consistency of the
+    warm-start path, BGC_mod.F90:943-956)."""
+    state, grid, forcing = synthetic_world(nlev=12, ncol=24, seed=5)
+    params = ModelParams()
+    s1, _ = step(state, grid, forcing, params, DT)
+    s2, _ = step(s1, grid, forcing, params, DT)
+    active = np.asarray(grid.active_mask())
+    ph1 = np.asarray(s1.bgc.ph_prev_3d)[active]
+    ph2 = np.asarray(s2.bgc.ph_prev_3d)[active]
+    assert np.abs(ph1 - ph2).max() < 0.05   # smooth trajectory, no jumps
+
+
+def test_surface_flux_changes_only_top_cell():
+    state, grid, forcing = synthetic_world(nlev=12, ncol=16, seed=6)
+    params = ModelParams()
+    # zero out all interior tendencies' drivers is impractical; instead
+    # verify the net surface flux is deposited at k=0 only: compare a run
+    # with doubled gas flux via doubled wind (quadratic piston velocity)
+    import dataclasses
+    forcing2 = dataclasses.replace(
+        forcing,
+        wind_speed_squared_10m=2.0 * forcing.wind_speed_squared_10m)
+    s_a, _ = step(state, grid, forcing, params, DT)
+    s_b, _ = step(state, grid, forcing2, params, DT)
+    d = np.asarray(s_b.bgc.tracers - s_a.bgc.tracers)
+    # O2 differs at the surface level
+    assert np.abs(d[0, T.O2]).max() > 0.0
+    # below the surface nothing in the O2 column changed
+    np.testing.assert_array_equal(d[1:, T.O2], 0.0)

@@ -1,0 +1,74 @@
+"""Column sharding over the virtual 8-device CPU mesh.
+
+Exercises the exact multi-chip path (shard_map + psum) that runs on a TPU
+pod, on the fake mesh (SURVEY.md par.4's multi-host test strategy).
+"""
+
+import numpy as np
+
+import ocean_bgc_tpu  # noqa: F401
+import jax
+
+from ocean_bgc_tpu.models.coupled import step
+from ocean_bgc_tpu.parallel import (make_mesh, make_pjit_step,
+                                    make_sharded_step, shard_world)
+from ocean_bgc_tpu.params import ModelParams
+from ocean_bgc_tpu.utils.synthetic import synthetic_world
+
+DT = 3600.0
+
+
+def test_sharded_step_matches_single_device():
+    assert len(jax.devices()) == 8
+    state, grid, forcing = synthetic_world(nlev=10, ncol=64, seed=11)
+    params = ModelParams()
+
+    # single-device reference
+    ref_state, ref_diags = step(state, grid, forcing, params, DT)
+
+    mesh = make_mesh()
+    s_state, s_grid, s_forcing = shard_world(state, grid, forcing, mesh)
+    fn = make_sharded_step(mesh, params, DT, compute_diags=True)
+    new_state, gdiags = fn(s_state, s_grid, s_forcing)
+
+    np.testing.assert_allclose(
+        np.asarray(new_state.bgc.tracers), np.asarray(ref_state.bgc.tracers),
+        rtol=1e-12, atol=0.0)
+    np.testing.assert_allclose(
+        np.asarray(new_state.dms), np.asarray(ref_state.dms), rtol=1e-12)
+    # psum'd global sums equal the single-device column sums (the Jint
+    # residuals are ~1e-16 numerical zeros whose exact value depends on
+    # reduction order, hence the absolute tolerance)
+    for name, val in gdiags.items():
+        np.testing.assert_allclose(
+            float(val), float(np.sum(np.asarray(ref_diags[name]))),
+            rtol=1e-10, atol=1e-12, err_msg=name)
+
+
+def test_pjit_step_matches_shard_map():
+    state, grid, forcing = synthetic_world(nlev=8, ncol=32, seed=12)
+    params = ModelParams()
+    mesh = make_mesh()
+    s_state, s_grid, s_forcing = shard_world(state, grid, forcing, mesh)
+
+    f_sm = make_sharded_step(mesh, params, DT, compute_diags=True)
+    f_pj = make_pjit_step(mesh, params, DT, compute_diags=True)
+    st_sm, gd_sm = f_sm(s_state, s_grid, s_forcing)
+    st_pj, gd_pj = f_pj(s_state, s_grid, s_forcing)
+
+    np.testing.assert_allclose(np.asarray(st_sm.bgc.tracers),
+                               np.asarray(st_pj.bgc.tracers), rtol=1e-12)
+    for name in gd_sm:
+        np.testing.assert_allclose(float(gd_sm[name]), float(gd_pj[name]),
+                                   rtol=1e-9, atol=1e-18)
+
+
+def test_multi_step_sharded():
+    state, grid, forcing = synthetic_world(nlev=8, ncol=32, seed=13)
+    params = ModelParams()
+    mesh = make_mesh()
+    s_state, s_grid, s_forcing = shard_world(state, grid, forcing, mesh)
+    fn = make_sharded_step(mesh, params, DT, compute_diags=True, nsteps=4)
+    new_state, gdiags = fn(s_state, s_grid, s_forcing)
+    assert np.isfinite(np.asarray(new_state.bgc.tracers)).all()
+    assert np.isfinite(float(gdiags["photoC_TOT_zint"]))
