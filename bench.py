@@ -56,7 +56,63 @@ def _throughput(device, ncol, nlev, nsteps, repeats, compute_diags):
     return ncol * nsteps / best
 
 
+def _scaling_mode(ncol, nlev, nsteps):
+    """Weak-scaling efficiency 1 -> N devices over the columns mesh
+    (constant columns per device), as one JSON line.
+
+    Only meaningful on real multi-chip hardware: on the virtual CPU mesh
+    the N 'devices' share one socket's cores, so the 1-device run already
+    saturates them and the ratio reads as poor scaling."""
+    import time as _time
+
+    from ocean_bgc_tpu.parallel import (make_mesh, make_sharded_step,
+                                        shard_world)
+    from ocean_bgc_tpu.params import ModelParams
+    from ocean_bgc_tpu.utils.synthetic import synthetic_world
+
+    params = ModelParams()
+    devs = jax.devices()
+    per_dev = max(ncol // len(devs), 16)
+
+    def tput(n):
+        mesh = make_mesh(devs[:n])
+        state, grid, forcing = synthetic_world(
+            nlev=nlev, ncol=per_dev * n, seed=17, ragged=False)
+        state, grid, forcing = shard_world(state, grid, forcing, mesh)
+        fn = make_sharded_step(mesh, params, 3600.0, compute_diags=True,
+                               nsteps=nsteps)
+        out = fn(state, grid, forcing)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            jax.block_until_ready(fn(state, grid, forcing))
+            best = min(best, _time.perf_counter() - t0)
+        return per_dev * n * nsteps / best
+
+    t1 = tput(1)
+    tn = tput(len(devs))
+    eff = tn / (t1 * len(devs))
+    print(json.dumps({
+        "metric": f"weak_scaling_efficiency_1_to_{len(devs)}_devices",
+        "value": round(eff, 4),
+        "unit": f"fraction (columns/s: {t1:.0f} -> {tn:.0f})",
+        "vs_baseline": round(eff / 0.9, 3),   # target: >90% efficiency
+    }))
+
+
 def main():
+    # persistent compilation cache: first-ever compile of the 60-level f64
+    # program costs minutes on the TPU; subsequent bench runs hit the cache
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/obgc_jax"))
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     import ocean_bgc_tpu  # noqa: F401  (enables x64)
 
     ncol = int(os.environ.get("BENCH_NCOL", "8192"))
@@ -64,6 +120,10 @@ def main():
     nsteps = int(os.environ.get("BENCH_STEPS", "10"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     diags = os.environ.get("BENCH_DIAGS", "0") == "1"
+
+    if os.environ.get("BENCH_MODE") == "scaling":
+        _scaling_mode(ncol, nlev, nsteps)
+        return
 
     device = jax.devices()[0]
     value = _throughput(device, ncol, nlev, nsteps, repeats, diags)

@@ -265,8 +265,8 @@ def talk(coeffs: CarbCoeffs, dic, ta, pt, sit, x):
     return fn, df
 
 
-def solve_htotal(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2,
-                 xacc=XACC):
+@jax.custom_vjp
+def solve_htotal(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2):
     """Lane-parallel bracketed safe-Newton root-find for htotal
     (drtsafe_row, co2calc.F90:872-997).
 
@@ -275,7 +275,19 @@ def solve_htotal(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2,
     all lanes converge or MAXIT.  Per-lane update sequencing matches the
     scalar algorithm exactly — a lane that converges freezes, so results are
     independent of batch composition.
+
+    Reverse-mode differentiable via the implicit function theorem (see
+    ``_solve_htotal_bwd``): at the root, talk(h*, theta) = 0, so
+    dh*/dtheta = -(dtalk/dtheta)/(dtalk/dh) — one extra talk evaluation
+    instead of differentiating through the iteration.  This makes the whole
+    model ``jax.grad``-able (parameter sensitivity / data assimilation), a
+    capability the Fortran reference has no analogue of.
     """
+    return _solve_htotal_impl(coeffs, dic, ta, pt, sit, x1, x2)
+
+
+def _solve_htotal_impl(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2,
+                       xacc=XACC):
     dtype = jnp.result_type(x1, x2)
     x1 = jnp.asarray(x1, dtype)
     x2 = jnp.broadcast_to(jnp.asarray(x2, dtype), x1.shape)
@@ -365,6 +377,32 @@ def solve_htotal(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2,
     return soln
 
 
+def _solve_htotal_fwd(coeffs, dic, ta, pt, sit, x1, x2):
+    h = _solve_htotal_impl(coeffs, dic, ta, pt, sit, x1, x2)
+    return h, (coeffs, dic, ta, pt, sit, h, x1, x2)
+
+
+def _solve_htotal_bwd(res, g):
+    coeffs, dic, ta, pt, sit, h, x1, x2 = res
+    # implicit function theorem at the root: F(h*, theta) = 0
+    # => dL/dtheta = -(dL/dh*) / F_h  *  F_theta
+    _, f_h = talk(coeffs, dic, ta, pt, sit, h)
+    lam = -g / f_h
+
+    def residual(coeffs_, dic_, ta_, pt_, sit_):
+        fn, _ = talk(coeffs_, dic_, ta_, pt_, sit_, h)
+        return fn
+
+    _, vjp = jax.vjp(residual, coeffs, dic, ta, pt, sit)
+    d_coeffs, d_dic, d_ta, d_pt, d_sit = vjp(lam)
+    # the solution is independent of the bracket endpoints
+    return (d_coeffs, d_dic, d_ta, d_pt, d_sit,
+            jnp.zeros_like(x1), jnp.zeros_like(x2))
+
+
+solve_htotal.defvjp(_solve_htotal_fwd, _solve_htotal_bwd)
+
+
 def _to_mass_units(dic_in, ta_in, pt_in, sit_in):
     """Floor tracers and convert (mmol/m^3) -> (mol/kg) (comp_htotal,
     co2calc.F90:843-846)."""
@@ -401,6 +439,80 @@ def co3_terms(depth_m, temp, salt, dic_in, ta_in, pt_in, sit_in,
     co3 = dic * coeffs.k1 * coeffs.k2 * denom * MASS_TO_VOL
     ph = -jnp.log10(htotal)
     return ph, h2co3, hco3, co3
+
+
+def co3_terms_dual(depth_m, temp, salt, dic_in, ta_in, pt_in, sit_in,
+                   phlo_a, phhi_a, phlo_b, phhi_b, apply_pressure):
+    """Two pH solves of the SAME (DIC, TA) cell from two warm-start
+    brackets — the reference's ambient + ALT_CO2 interior pattern
+    (BGC_mod.F90:952-978).  The equilibrium coefficients depend only on
+    (T, S, depth), so they are computed once and shared (the reference
+    recomputes identical values); the two solves are stacked into one
+    lane batch so their solver iterations merge into a single masked
+    while_loop.  Bit-identical results to two co3_terms calls.
+
+    Returns ((ph, h2co3, hco3, co3) for bracket a, same for bracket b).
+    """
+    coeffs = carbonate_coeffs(depth_m, temp, salt, apply_pressure,
+                              k1_k2_ph_tot=True)
+    dic, ta, pt, sit = _to_mass_units(dic_in, ta_in, pt_in, sit_in)
+    # concatenate the two scenarios along the lane axis — a (2, ncol)
+    # stack would waste TPU sublanes
+    n = phhi_a.shape[-1] if phhi_a.ndim else 1
+    cat = lambda a, b: jnp.concatenate(  # noqa: E731
+        [jnp.atleast_1d(a), jnp.atleast_1d(b)], axis=-1)
+    two = lambda a: cat(a, a)  # noqa: E731
+    coeffs2 = CarbCoeffs(*(two(f) for f in coeffs))
+    x1 = 10.0 ** (-cat(phhi_a, phhi_b))
+    x2 = 10.0 ** (-cat(phlo_a, phlo_b))
+    htotal = solve_htotal(coeffs2, two(dic), two(ta), two(pt), two(sit),
+                          x1, x2)
+    htotal2 = htotal ** 2
+    denom = 1.0 / (htotal2 + coeffs2.k1 * htotal + coeffs2.k1 * coeffs2.k2)
+    dic2 = two(dic)
+    h2co3 = dic2 * htotal2 * denom * MASS_TO_VOL
+    hco3 = dic2 * coeffs2.k1 * htotal * denom * MASS_TO_VOL
+    co3 = dic2 * coeffs2.k1 * coeffs2.k2 * denom * MASS_TO_VOL
+    ph = -jnp.log10(htotal)
+    res = (ph, h2co3, hco3, co3)
+    return (tuple(r[..., :n] for r in res),
+            tuple(r[..., n:] for r in res))
+
+
+def co2calc_surface_dual(depth_m, temp, salt, dic_a, dic_b, ta_in, pt_in,
+                         sit_in, phlo_a, phhi_a, phlo_b, phhi_b,
+                         xco2_a, xco2_b, atmpres, *,
+                         locmip_k1_k2_bug_fix=True):
+    """The surface ambient + ALT_CO2 pair (BGC_mod.F90:2881-2912): shared
+    coefficients, DIC/xCO2/bracket differing per scenario, one stacked
+    solve.  Returns two (ph, co2star, dco2star, pco2surf, dpco2) tuples."""
+    coeffs = carbonate_coeffs(depth_m, temp, salt, False,
+                              k1_k2_ph_tot=locmip_k1_k2_bug_fix)
+    da, ta, pt, sit = _to_mass_units(dic_a, ta_in, pt_in, sit_in)
+    db, _, _, _ = _to_mass_units(dic_b, ta_in, pt_in, sit_in)
+    n = jnp.atleast_1d(da).shape[-1]
+    cat = lambda a, b: jnp.concatenate(  # noqa: E731
+        [jnp.atleast_1d(a), jnp.atleast_1d(b)], axis=-1)
+    two = lambda a: cat(a, a)  # noqa: E731
+    coeffs2 = CarbCoeffs(*(two(f) for f in coeffs))
+    dic = cat(da, db)
+    x1 = 10.0 ** (-cat(phhi_a, phhi_b))
+    x2 = 10.0 ** (-cat(phlo_a, phlo_b))
+    htotal = solve_htotal(coeffs2, dic, two(ta), two(pt), two(sit), x1, x2)
+    xco2 = cat(xco2_a, xco2_b) * 1e-6
+    atm2 = two(atmpres)
+    htotal2 = htotal ** 2
+    co2star = dic * htotal2 / (htotal2 + coeffs2.k1 * htotal
+                               + coeffs2.k1 * coeffs2.k2)
+    co2starair = xco2 * coeffs2.ff * atm2
+    dco2star = co2starair - co2star
+    ph = -jnp.log10(htotal)
+    pco2surf = co2star / coeffs2.ff
+    dpco2 = pco2surf - xco2 * atm2
+    res = (ph, co2star * MASS_TO_VOL, dco2star * MASS_TO_VOL,
+           pco2surf * 1e6, dpco2 * 1e6)
+    return (tuple(r[..., :n] for r in res),
+            tuple(r[..., n:] for r in res))
 
 
 def co2calc_surface(depth_m, temp, salt, dic_in, ta_in, pt_in, sit_in,

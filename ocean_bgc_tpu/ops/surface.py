@@ -23,7 +23,7 @@ from ocean_bgc_tpu.constants import (
     PHLO_SURF_INIT,
     XKW_COEFF,
 )
-from ocean_bgc_tpu.ops.carbonate import co2calc_surface
+from ocean_bgc_tpu.ops.carbonate import co2calc_surface_dual
 from ocean_bgc_tpu.ops.schmidt import (
     dmssat,
     o2sat,
@@ -99,23 +99,18 @@ def bgc_surface_fluxes(
                          PHLO_SURF_INIT)
         phhi = jnp.where(surface_ph != 0.0, surface_ph + DEL_PH,
                          PHHI_SURF_INIT)
-        ph_new, co2star, dco2star, pco2surf, dpco2 = co2calc_surface(
-            forcing.surface_depth, forcing.sst, forcing.sss,
-            dic, alk, po4, sio3, phlo, phhi,
-            forcing.atm_co2, forcing.surface_pressure,
-            locmip_k1_k2_bug_fix=params.locmip_k1_k2_bug_fix)
-        gas = gas.at[T.DIC].set(pv_co2 * dco2star)
-
         phlo_a = jnp.where(surface_ph_alt != 0.0, surface_ph_alt - DEL_PH,
                            PHLO_SURF_INIT)
         phhi_a = jnp.where(surface_ph_alt != 0.0, surface_ph_alt + DEL_PH,
                            PHHI_SURF_INIT)
-        (ph_alt_new, co2star_alt, dco2star_alt, pco2surf_alt,
-         dpco2_alt) = co2calc_surface(
+        ((ph_new, co2star, dco2star, pco2surf, dpco2),
+         (ph_alt_new, co2star_alt, dco2star_alt, pco2surf_alt,
+          dpco2_alt)) = co2calc_surface_dual(
             forcing.surface_depth, forcing.sst, forcing.sss,
-            dic_alt, alk, po4, sio3, phlo_a, phhi_a,
-            forcing.atm_co2_alt, forcing.surface_pressure,
+            dic, dic_alt, alk, po4, sio3, phlo, phhi, phlo_a, phhi_a,
+            forcing.atm_co2, forcing.atm_co2_alt, forcing.surface_pressure,
             locmip_k1_k2_bug_fix=params.locmip_k1_k2_bug_fix)
+        gas = gas.at[T.DIC].set(pv_co2 * dco2star)
         gas = gas.at[T.DIC_ALT_CO2].set(pv_co2 * dco2star_alt)
 
         diags.update({
