@@ -76,16 +76,32 @@ def macros_tracer_block(state: CoupledState) -> jax.Array:
     return jnp.stack(rows, axis=1)
 
 
-def step(
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CoupledTendencies:
+    """Time derivatives of the prognostic fields (surface fluxes already
+    deposited into the top active cell), plus the pH warm-start fields
+    that the solve updated as a side effect."""
+
+    bgc: jax.Array        # (nlev, 30, ncol)
+    dms: jax.Array        # (nlev, 2, ncol)
+    macros: jax.Array     # (nlev, 3, ncol)
+    ph_prev_3d: jax.Array
+    ph_prev_alt_3d: jax.Array
+    surface_ph: jax.Array
+    surface_ph_alt: jax.Array
+
+
+def evaluate_tendencies(
     state: CoupledState,
     grid: ColumnGrid,
     forcing: BGCForcing,
     params: ModelParams,
-    dt: float,
     *,
     compute_diags: bool = True,
-) -> Tuple[CoupledState, Dict[str, jax.Array]]:
-    """One coupled forward-Euler timestep. Returns (state', diagnostics)."""
+) -> Tuple[CoupledTendencies, Dict[str, jax.Array]]:
+    """The coupled model's right-hand side: surface fluxes + all three
+    source-sink kernels, as d(state)/dt pytrees."""
 
     active = grid.active_mask()                       # (nlev, ncol)
     has_ocean = grid.kmax > 0                         # (ncol,)
@@ -111,29 +127,23 @@ def step(
     mac_tend, mac_diags = macros_source_sink(
         macros_tracer_block(state), active, params.macros)
 
-    # ---- 3. forward-Euler update ----
-    bgc_new = state.bgc.tracers + dt * bgc_out.tendencies
-    surf_src = jnp.where(has_ocean, dt * top_dzr, 0.0)  # (ncol,)
-    bgc_new = bgc_new.at[0].add(surf_src[None, :] * sflux.net_flux)
+    # ---- 3. deposit surface fluxes into the top active cell ----
+    surf_src = jnp.where(has_ocean, top_dzr, 0.0)     # (ncol,) 1/cm
+    bgc_t = bgc_out.tendencies.at[0].add(surf_src[None, :]
+                                         * sflux.net_flux)
+    dms_t = dms_tend[:, (DT.DMS, DT.DMSP)]
+    dms_t = dms_t.at[0, 0].add(surf_src * dflux.dms_flux)
+    dms_t = dms_t.at[0, 1].add(surf_src * dflux.dmsp_flux)
+    mac_t = mac_tend[:, (MT.PROT, MT.POLY, MT.LIP)]
 
-    dms_new = state.dms + dt * dms_tend[:, (DT.DMS, DT.DMSP)]
-    dms_new = dms_new.at[0, 0].add(surf_src * dflux.dms_flux)
-    dms_new = dms_new.at[0, 1].add(surf_src * dflux.dmsp_flux)
-
-    mac_new = state.macros + dt * mac_tend[:, (MT.PROT, MT.POLY, MT.LIP)]
-
-    new_state = CoupledState(
-        bgc=BGCState(
-            tracers=bgc_new,
-            ph_prev_3d=bgc_out.ph_prev_3d,
-            ph_prev_alt_3d=bgc_out.ph_prev_alt_3d,
-            surface_ph=jnp.where(has_ocean, sflux.surface_ph,
-                                 state.bgc.surface_ph),
-            surface_ph_alt=jnp.where(has_ocean, sflux.surface_ph_alt,
-                                     state.bgc.surface_ph_alt),
-        ),
-        dms=dms_new,
-        macros=mac_new,
+    tend = CoupledTendencies(
+        bgc=bgc_t, dms=dms_t, macros=mac_t,
+        ph_prev_3d=bgc_out.ph_prev_3d,
+        ph_prev_alt_3d=bgc_out.ph_prev_alt_3d,
+        surface_ph=jnp.where(has_ocean, sflux.surface_ph,
+                             state.bgc.surface_ph),
+        surface_ph_alt=jnp.where(has_ocean, sflux.surface_ph_alt,
+                                 state.bgc.surface_ph_alt),
     )
 
     diags: Dict[str, jax.Array] = {}
@@ -145,7 +155,44 @@ def step(
         diags.update(sflux.diags)
         diags.update(dflux.diags)
         diags["netFlux"] = sflux.net_flux
-    return new_state, diags
+    return tend, diags
+
+
+def apply_update(state: CoupledState, tend: CoupledTendencies, dt,
+                 *, bgc_incr=None, dms_incr=None,
+                 macros_incr=None) -> CoupledState:
+    """state + dt * increment, carrying the pH warm-start fields from the
+    given tendency evaluation.  The increments default to the tendency
+    fields (forward Euler); integrators pass combined stage sums."""
+    return CoupledState(
+        bgc=BGCState(
+            tracers=state.bgc.tracers
+            + dt * (tend.bgc if bgc_incr is None else bgc_incr),
+            ph_prev_3d=tend.ph_prev_3d,
+            ph_prev_alt_3d=tend.ph_prev_alt_3d,
+            surface_ph=tend.surface_ph,
+            surface_ph_alt=tend.surface_ph_alt,
+        ),
+        dms=state.dms + dt * (tend.dms if dms_incr is None else dms_incr),
+        macros=state.macros
+        + dt * (tend.macros if macros_incr is None else macros_incr),
+    )
+
+
+def step(
+    state: CoupledState,
+    grid: ColumnGrid,
+    forcing: BGCForcing,
+    params: ModelParams,
+    dt: float,
+    *,
+    compute_diags: bool = True,
+) -> Tuple[CoupledState, Dict[str, jax.Array]]:
+    """One coupled forward-Euler timestep (the host models' standard
+    coupling scheme). Returns (state', diagnostics)."""
+    tend, diags = evaluate_tendencies(state, grid, forcing, params,
+                                      compute_diags=compute_diags)
+    return apply_update(state, tend, dt), diags
 
 
 def run(

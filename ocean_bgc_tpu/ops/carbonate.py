@@ -456,27 +456,20 @@ def co3_terms_dual(depth_m, temp, salt, dic_in, ta_in, pt_in, sit_in,
     coeffs = carbonate_coeffs(depth_m, temp, salt, apply_pressure,
                               k1_k2_ph_tot=True)
     dic, ta, pt, sit = _to_mass_units(dic_in, ta_in, pt_in, sit_in)
-    # concatenate the two scenarios along the lane axis — a (2, ncol)
-    # stack would waste TPU sublanes
-    n = phhi_a.shape[-1] if phhi_a.ndim else 1
-    cat = lambda a, b: jnp.concatenate(  # noqa: E731
-        [jnp.atleast_1d(a), jnp.atleast_1d(b)], axis=-1)
-    two = lambda a: cat(a, a)  # noqa: E731
-    coeffs2 = CarbCoeffs(*(two(f) for f in coeffs))
-    x1 = 10.0 ** (-cat(phhi_a, phhi_b))
-    x2 = 10.0 ** (-cat(phlo_a, phlo_b))
-    htotal = solve_htotal(coeffs2, two(dic), two(ta), two(pt), two(sit),
-                          x1, x2)
-    htotal2 = htotal ** 2
-    denom = 1.0 / (htotal2 + coeffs2.k1 * htotal + coeffs2.k1 * coeffs2.k2)
-    dic2 = two(dic)
-    h2co3 = dic2 * htotal2 * denom * MASS_TO_VOL
-    hco3 = dic2 * coeffs2.k1 * htotal * denom * MASS_TO_VOL
-    co3 = dic2 * coeffs2.k1 * coeffs2.k2 * denom * MASS_TO_VOL
-    ph = -jnp.log10(htotal)
-    res = (ph, h2co3, hco3, co3)
-    return (tuple(r[..., :n] for r in res),
-            tuple(r[..., n:] for r in res))
+
+    def one(phlo, phhi):
+        x1 = 10.0 ** (-phhi)
+        x2 = 10.0 ** (-phlo)
+        htotal = solve_htotal(coeffs, dic, ta, pt, sit, x1, x2)
+        htotal2 = htotal ** 2
+        denom = 1.0 / (htotal2 + coeffs.k1 * htotal
+                       + coeffs.k1 * coeffs.k2)
+        h2co3 = dic * htotal2 * denom * MASS_TO_VOL
+        hco3 = dic * coeffs.k1 * htotal * denom * MASS_TO_VOL
+        co3 = dic * coeffs.k1 * coeffs.k2 * denom * MASS_TO_VOL
+        return -jnp.log10(htotal), h2co3, hco3, co3
+
+    return one(phlo_a, phhi_a), one(phlo_b, phhi_b)
 
 
 def co2calc_surface_dual(depth_m, temp, salt, dic_a, dic_b, ta_in, pt_in,
@@ -490,29 +483,23 @@ def co2calc_surface_dual(depth_m, temp, salt, dic_a, dic_b, ta_in, pt_in,
                               k1_k2_ph_tot=locmip_k1_k2_bug_fix)
     da, ta, pt, sit = _to_mass_units(dic_a, ta_in, pt_in, sit_in)
     db, _, _, _ = _to_mass_units(dic_b, ta_in, pt_in, sit_in)
-    n = jnp.atleast_1d(da).shape[-1]
-    cat = lambda a, b: jnp.concatenate(  # noqa: E731
-        [jnp.atleast_1d(a), jnp.atleast_1d(b)], axis=-1)
-    two = lambda a: cat(a, a)  # noqa: E731
-    coeffs2 = CarbCoeffs(*(two(f) for f in coeffs))
-    dic = cat(da, db)
-    x1 = 10.0 ** (-cat(phhi_a, phhi_b))
-    x2 = 10.0 ** (-cat(phlo_a, phlo_b))
-    htotal = solve_htotal(coeffs2, dic, two(ta), two(pt), two(sit), x1, x2)
-    xco2 = cat(xco2_a, xco2_b) * 1e-6
-    atm2 = two(atmpres)
-    htotal2 = htotal ** 2
-    co2star = dic * htotal2 / (htotal2 + coeffs2.k1 * htotal
-                               + coeffs2.k1 * coeffs2.k2)
-    co2starair = xco2 * coeffs2.ff * atm2
-    dco2star = co2starair - co2star
-    ph = -jnp.log10(htotal)
-    pco2surf = co2star / coeffs2.ff
-    dpco2 = pco2surf - xco2 * atm2
-    res = (ph, co2star * MASS_TO_VOL, dco2star * MASS_TO_VOL,
-           pco2surf * 1e6, dpco2 * 1e6)
-    return (tuple(r[..., :n] for r in res),
-            tuple(r[..., n:] for r in res))
+
+    def one(dic, phlo, phhi, xco2_in):
+        x1 = 10.0 ** (-phhi)
+        x2 = 10.0 ** (-phlo)
+        htotal = solve_htotal(coeffs, dic, ta, pt, sit, x1, x2)
+        xco2 = xco2_in * 1e-6
+        htotal2 = htotal ** 2
+        co2star = dic * htotal2 / (htotal2 + coeffs.k1 * htotal
+                                   + coeffs.k1 * coeffs.k2)
+        dco2star = xco2 * coeffs.ff * atmpres - co2star
+        pco2surf = co2star / coeffs.ff
+        dpco2 = pco2surf - xco2 * atmpres
+        return (-jnp.log10(htotal), co2star * MASS_TO_VOL,
+                dco2star * MASS_TO_VOL, pco2surf * 1e6, dpco2 * 1e6)
+
+    return (one(da, phlo_a, phhi_a, xco2_a),
+            one(db, phlo_b, phhi_b, xco2_b))
 
 
 def co2calc_surface(depth_m, temp, salt, dic_in, ta_in, pt_in, sit_in,

@@ -25,6 +25,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(20260817)
+@pytest.fixture()
+def rng(request):
+    # function-scoped + name-seeded (stable crc32, not PYTHONHASHSEED-
+    # randomized hash): inputs are independent of which other tests run
+    # (a shared session stream made tolerances order-dependent)
+    import zlib
+    seed = zlib.crc32(request.node.name.encode())
+    return np.random.default_rng(20260817 + seed)

@@ -81,13 +81,17 @@ def test_bgc_surface_fluxes_match_oracle(rng):
         base = dep[:, col] + riv[:, col] + sei[:, col]
         np.testing.assert_allclose(
             net[T.O2, col], base[T.O2] + want["flux_o2"], rtol=1e-10)
+        # dco2star is a small difference of similar numbers, so the pH
+        # solver tolerance shows up amplified in *relative* terms; bound
+        # absolutely by the piston velocity times the co2star error scale
+        co2_atol = abs(want["pv_co2"]) * 1e-3 + 1e-12
         np.testing.assert_allclose(
             net[T.DIC, col], base[T.DIC] + want["flux_co2"],
-            rtol=5e-4, atol=1e-12)
+            rtol=5e-4, atol=co2_atol)
         np.testing.assert_allclose(
             net[T.DIC_ALT_CO2, col],
             base[T.DIC_ALT_CO2] + want["flux_co2_alt"],
-            rtol=5e-4, atol=1e-12)
+            rtol=5e-4, atol=co2_atol)
         # Fe bioavailability scaling
         np.testing.assert_allclose(
             net[T.FE, col], 0.7 * base[T.FE], rtol=1e-12)
