@@ -93,10 +93,48 @@ def bgc_source_sink(
 
     k_index = jnp.arange(nlev)
     is_bottom_all = (k_index[:, None] + 1) == grid.kmax[None, :]
+    zrow = jnp.zeros((1, ncol), grid.cell_center_depth.dtype)
     prev_center = jnp.concatenate(
-        [jnp.zeros((1, ncol)), grid.cell_center_depth[:-1]], axis=0)
+        [zrow, grid.cell_center_depth[:-1]], axis=0)
     prev_bottom = jnp.concatenate(
-        [jnp.zeros((1, ncol)), grid.cell_bottom_depth[:-1]], axis=0)
+        [zrow, grid.cell_bottom_depth[:-1]], axis=0)
+
+    # ------------------------------------------------------------------
+    # Carbonate chemistry for ALL cells at once, hoisted out of the level
+    # scan: the pH solve depends only on per-cell state, never on the
+    # scan carry, so batching it over (nlev x ncol) lanes collapses the
+    # sequential solver depth from nlev*iterations to one masked
+    # while_loop — identical per-cell results (lanes freeze on their own
+    # convergence), ~nlev-fold less serial latency on TPU.
+    # ------------------------------------------------------------------
+    depth_m_all = grid.cell_center_depth * 0.01
+    subsurface_all = (k_index > 0)[:, None]
+    # benign stand-ins below the ocean floor keep the solver converging
+    dic_all = jnp.where(active_all, trc[:, T.DIC], 2000.0)
+    alk_all = jnp.where(active_all, trc[:, T.ALK], 2300.0)
+    temp_all = jnp.where(active_all, forcing.potential_temperature, 10.0)
+    salt_all = jnp.where(active_all, forcing.salinity, 35.0)
+    po4_all = trc[:, T.PO4]
+    sio3_all = trc[:, T.SIO3]
+
+    phlo_all = jnp.where(ph_prev_3d != 0.0, ph_prev_3d - c.DEL_PH,
+                         c.PHLO_3D_INIT)
+    phhi_all = jnp.where(ph_prev_3d != 0.0, ph_prev_3d + c.DEL_PH,
+                         c.PHHI_3D_INIT)
+    phlo_alt_all = jnp.where(ph_prev_alt_3d != 0.0,
+                             ph_prev_alt_3d - c.DEL_PH, c.PHLO_3D_INIT)
+    phhi_alt_all = jnp.where(ph_prev_alt_3d != 0.0,
+                             ph_prev_alt_3d + c.DEL_PH, c.PHHI_3D_INIT)
+    # ambient + ALT_CO2 solves of the same cell (the reference's two
+    # comp_CO3terms calls, BGC_mod.F90:952-978) share coefficients
+    ((ph3d_all, h2co3_all, hco3_all, co3_all),
+     (ph3d_alt_all, h2co3_alt_all, hco3_alt_all,
+      co3_alt_all)) = co3_terms_dual(
+        depth_m_all, temp_all, salt_all, dic_all, alk_all, po4_all,
+        sio3_all, phlo_all, phhi_all, phlo_alt_all, phhi_alt_all,
+        subsurface_all)
+    sat_calc_all, sat_arag_all = co3_sat_vals(
+        depth_m_all, temp_all, salt_all, subsurface_all)
 
     xs = dict(
         k=k_index,
@@ -117,6 +155,10 @@ def bgc_source_sink(
         ph_prev_alt=ph_prev_alt_3d,
         active=active_all,
         is_bottom=is_bottom_all,
+        ph_3d=ph3d_all, h2co3=h2co3_all, hco3=hco3_all, co3=co3_all,
+        ph_3d_alt=ph3d_alt_all, h2co3_alt=h2co3_alt_all,
+        hco3_alt=hco3_alt_all, co3_alt=co3_alt_all,
+        co3_sat_calc=sat_calc_all, co3_sat_arag=sat_arag_all,
     )
 
     def level_step(carry, x):
@@ -211,36 +253,16 @@ def bgc_source_sink(
         par_in = par_out_prev
         par_out, par_avg, kpar_dz = par_through_cell(par_in, total_chl, dz)
 
-        # ---- carbonate chemistry, two CO2 scenarios
-        # (BGC_mod.F90:935-1001) ----
-        depth_m = center * 0.01
-        subsurface = k > 0
-        # benign stand-ins below the ocean floor keep the solver converging
-        dic_s = jnp.where(active, dic, 2000.0)
-        alk_s = jnp.where(active, alk, 2300.0)
-        temp_s = jnp.where(active, temp, 10.0)
-        salt_s = jnp.where(active, salt, 35.0)
-
-        ph_prev = x["ph_prev"]
-        phlo = jnp.where(ph_prev != 0.0, ph_prev - c.DEL_PH, c.PHLO_3D_INIT)
-        phhi = jnp.where(ph_prev != 0.0, ph_prev + c.DEL_PH, c.PHHI_3D_INIT)
-        ph_prev_alt = x["ph_prev_alt"]
-        phlo_a = jnp.where(ph_prev_alt != 0.0, ph_prev_alt - c.DEL_PH,
-                           c.PHLO_3D_INIT)
-        phhi_a = jnp.where(ph_prev_alt != 0.0, ph_prev_alt + c.DEL_PH,
-                           c.PHHI_3D_INIT)
-        # ambient + ALT_CO2 solves of the same cell (the reference's two
-        # comp_CO3terms calls, BGC_mod.F90:952-978) share coefficients and
-        # one stacked solver batch — bit-identical, ~2x cheaper
-        ((ph_3d, h2co3, hco3, co3),
-         (ph_3d_alt, h2co3_alt, hco3_alt, co3_alt)) = co3_terms_dual(
-            depth_m, temp_s, salt_s, dic_s, alk_s, po4, sio3,
-            phlo, phhi, phlo_a, phhi_a, subsurface)
-        ph_new = jnp.where(active, ph_3d, ph_prev)
-        ph_alt_new = jnp.where(active, ph_3d_alt, ph_prev_alt)
-
-        co3_sat_calc, co3_sat_arag = co3_sat_vals(
-            depth_m, temp_s, salt_s, subsurface)
+        # ---- carbonate chemistry, two CO2 scenarios: solved for all
+        # levels at once before the scan (see hoist above,
+        # BGC_mod.F90:935-1001) ----
+        ph_3d, h2co3, hco3, co3 = (x["ph_3d"], x["h2co3"], x["hco3"],
+                                   x["co3"])
+        ph_3d_alt, h2co3_alt, hco3_alt, co3_alt = (
+            x["ph_3d_alt"], x["h2co3_alt"], x["hco3_alt"], x["co3_alt"])
+        co3_sat_calc, co3_sat_arag = x["co3_sat_calc"], x["co3_sat_arag"]
+        ph_new = jnp.where(active, ph_3d, x["ph_prev"])
+        ph_alt_new = jnp.where(active, ph_3d_alt, x["ph_prev_alt"])
 
         # ---- saturation-depth search (BGC_mod.F90:1003-1032) ----
         # carry state: -1 = "supersaturated so far", else found depth

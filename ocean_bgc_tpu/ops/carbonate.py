@@ -287,8 +287,13 @@ def solve_htotal(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2):
 
 
 def _solve_htotal_impl(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2,
-                       xacc=XACC):
+                       xacc=None):
     dtype = jnp.result_type(x1, x2)
+    if xacc is None:
+        # the f64 contract uses the reference's xacc; the opt-in f32 fast
+        # path needs a tolerance representable at single precision
+        # (H ~ 1e-8 mol/kg, f32 eps ~ 1.2e-7 relative)
+        xacc = XACC if dtype == jnp.float64 else 1e-5 * 1e-8
     x1 = jnp.asarray(x1, dtype)
     x2 = jnp.broadcast_to(jnp.asarray(x2, dtype), x1.shape)
 

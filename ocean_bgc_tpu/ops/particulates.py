@@ -107,8 +107,10 @@ def _scalelength(cell_bottom_depth, params: BGCParams):
     """Piecewise-linear dissolution scale-length profile
     (BGC_mod.F90:2273-2286): clamped linear interpolation on the
     4-knot (parm_scalelen_z, parm_scalelen_vals) table."""
-    z = jnp.asarray(params.parm_scalelen_z)
-    v = jnp.asarray(params.parm_scalelen_vals)
+    z = jnp.asarray(params.parm_scalelen_z,
+                    dtype=cell_bottom_depth.dtype)
+    v = jnp.asarray(params.parm_scalelen_vals,
+                    dtype=cell_bottom_depth.dtype)
     return jnp.interp(cell_bottom_depth, z, v)
 
 

@@ -63,7 +63,9 @@ def bgc_surface_fluxes(
 
     # bioavailable-iron scaling of the four flux channels
     # (BGC_mod.F90:2828-2835)
-    fe_row = jnp.zeros((T.CNT,)).at[T.FE].set(1.0)[:, None]
+    fe_row = jnp.zeros(
+        (T.CNT,),
+        dtype=forcing.deposition_flux.dtype).at[T.FE].set(1.0)[:, None]
     scale = 1.0 + fe_row * (params.parm_Fe_bioavail - 1.0)
     deposition = forcing.deposition_flux * scale
     river = forcing.river_flux * scale

@@ -29,7 +29,11 @@ def synthetic_world(
     ncol: int = 1024,
     seed: int = 0,
     ragged: bool = True,
+    dtype=None,
 ) -> Tuple[CoupledState, ColumnGrid, BGCForcing]:
+    """``dtype=jnp.float32`` builds the world in single precision — the
+    opt-in fast path (the kernels are dtype-polymorphic; the f64 default
+    is the reference contract)."""
     rng = np.random.default_rng(seed)
 
     # geometry: 60 levels, 10 m cells near surface thickening to ~250 m
@@ -134,4 +138,13 @@ def synthetic_world(
                       np.full((nlev, ncol), 0.5) * surf_bio,
                       np.full((nlev, ncol), 0.1) * surf_bio], axis=1)),
     )
+    if dtype is not None:
+        import jax
+
+        def cast(tree):
+            return jax.tree.map(
+                lambda x: x.astype(dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+        state, grid, forcing = cast(state), cast(grid), cast(forcing)
     return state, grid, forcing
