@@ -35,25 +35,24 @@ def _throughput(device, ncol, nlev, nsteps, repeats, compute_diags):
                                            ragged=False)
     state, grid, forcing = jax.device_put((state, grid, forcing), device)
 
-    def many(state):
-        def body(s, _):
-            s2, _ = step(s, grid, forcing, params, 3600.0,
-                         compute_diags=compute_diags)
-            return s2, None
-        out, _ = jax.lax.scan(body, state, None, length=nsteps)
-        return out
-
-    fn = jax.jit(many)
+    # jit ONE step (the smallest program — TPU compile time on this image
+    # is service-bound and highly variable) and loop in Python; dispatch
+    # overhead is negligible against the f64 step cost
+    fn = jax.jit(
+        lambda s: step(s, grid, forcing, params, 3600.0,
+                       compute_diags=compute_diags)[0],
+        donate_argnums=0)
     out = fn(state)                      # compile + warm up
     jax.block_until_ready(out)
 
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = fn(state)
+        for _ in range(nsteps):
+            out = fn(out)
         jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return ncol * nsteps / best
+        best = min(best, (time.perf_counter() - t0) / nsteps)
+    return ncol / best
 
 
 def _scaling_mode(ncol, nlev, nsteps):
