@@ -100,6 +100,40 @@ def _scaling_mode(ncol, nlev, nsteps):
     }))
 
 
+def _co2calc_mode(repeats):
+    """BASELINE.md measured config 2: the carbonate solve batched over
+    10k columns (cold wide bracket, the reference's worst case)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from ocean_bgc_tpu.ops.carbonate import co3_terms
+
+    n = int(os.environ.get("BENCH_CO2_N", "10000"))
+    rng = np.random.default_rng(7)
+    args = (jnp.asarray(rng.uniform(0, 5000, n)),
+            jnp.asarray(rng.uniform(-1.8, 31, n)),
+            jnp.asarray(rng.uniform(30, 40, n)),
+            jnp.asarray(rng.uniform(1800, 2400, n)),
+            jnp.asarray(rng.uniform(2000, 2500, n)),
+            jnp.asarray(rng.uniform(0, 3.5, n)),
+            jnp.asarray(rng.uniform(0, 150, n)),
+            jnp.full(n, 6.0), jnp.full(n, 9.0))
+    fn = jax.jit(lambda *a: co3_terms(*a, True))
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(max(repeats, 3)):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": "co2calc_cells_per_s_cold_bracket_f64",
+        "value": round(n / best, 1),
+        "unit": f"pH solves/s ({n}-cell batch, wide bracket)",
+        "vs_baseline": 1.0,
+    }))
+
+
 def main():
     # persistent compilation cache: first-ever compile of the 60-level f64
     # program costs minutes on the TPU; subsequent bench runs hit the cache
@@ -122,6 +156,9 @@ def main():
 
     if os.environ.get("BENCH_MODE") == "scaling":
         _scaling_mode(ncol, nlev, nsteps)
+        return
+    if os.environ.get("BENCH_MODE") == "co2calc":
+        _co2calc_mode(repeats)
         return
 
     device = jax.devices()[0]
