@@ -286,8 +286,17 @@ def solve_htotal(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2):
     return _solve_htotal_impl(coeffs, dic, ta, pt, sit, x1, x2)
 
 
+def solve_htotal_stats(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2):
+    """Instrumented variant: returns (htotal, per-lane iteration count,
+    per-lane converged flag) — the convergence observability the
+    reference silently drops (co2calc.F90:993-995 commented-out abort).
+    Not differentiable; for monitoring/analysis paths."""
+    return _solve_htotal_impl(coeffs, dic, ta, pt, sit, x1, x2,
+                              with_stats=True)
+
+
 def _solve_htotal_impl(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2,
-                       xacc=None):
+                       xacc=None, with_stats=False):
     dtype = jnp.result_type(x1, x2)
     if xacc is None:
         # the f64 contract uses the reference's xacc; the opt-in f32 fast
@@ -337,13 +346,14 @@ def _solve_htotal_impl(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2,
     f0, df0 = f_of(soln0)
 
     active0 = jnp.ones_like(soln0, dtype=bool)
+    iters0 = jnp.zeros_like(soln0, dtype=jnp.int32)
 
     def iter_cond(carry):
-        _, _, _, _, _, _, _, active, it = carry
+        _, _, _, _, _, _, _, active, _, it = carry
         return jnp.any(active) & (it < MAXIT)
 
     def iter_body(carry):
-        soln, xlo_c, xhi_c, f, df, dx, dxold, active, it = carry
+        soln, xlo_c, xhi_c, f, df, dx, dxold, active, iters, it = carry
         # choose bisection when Newton would leave the bracket or is
         # converging too slowly (co2calc.F90:962-976)
         leave_bracket = (((soln - xhi_c) * df - f)
@@ -372,13 +382,16 @@ def _solve_htotal_impl(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2,
         go_hi = (f_n >= 0.0) & active_n
         xlo_out = jnp.where(go_lo, soln_out, xlo_c)
         xhi_out = jnp.where(go_hi, soln_out, xhi_c)
+        iters_out = iters + active.astype(jnp.int32)
         return (soln_out, xlo_out, xhi_out, f_out, df_out, dx_out,
-                dxold_out, active_n, it + 1)
+                dxold_out, active_n, iters_out, it + 1)
 
-    soln, *_ = jax.lax.while_loop(
+    (soln, _, _, _, _, _, _, still_active, iters, _) = jax.lax.while_loop(
         iter_cond, iter_body,
-        (soln0, xlo, xhi, f0, df0, dxold0, dxold0, active0,
+        (soln0, xlo, xhi, f0, df0, dxold0, dxold0, active0, iters0,
          jnp.asarray(0, jnp.int32)))
+    if with_stats:
+        return soln, iters, ~still_active
     return soln
 
 
