@@ -19,5 +19,30 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 
 from ocean_bgc_tpu import constants, params, state  # noqa: E402,F401
+from ocean_bgc_tpu.params import (  # noqa: E402,F401
+    BGCParams,
+    DMSParams,
+    MACROSParams,
+    ModelParams,
+)
+from ocean_bgc_tpu.state import (  # noqa: E402,F401
+    BGCForcing,
+    BGCState,
+    BGCTracers,
+    ColumnGrid,
+    DMSTracers,
+    MACROSTracers,
+)
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (avoid import cycles at package init)."""
+    if name in ("step", "run", "CoupledState"):
+        from ocean_bgc_tpu.models import coupled
+        return getattr(coupled, name)
+    if name == "synthetic_world":
+        from ocean_bgc_tpu.utils.synthetic import synthetic_world
+        return synthetic_world
+    raise AttributeError(name)
