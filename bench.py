@@ -45,12 +45,15 @@ def _throughput(device, ncol, nlev, nsteps, repeats, compute_diags):
     out = fn(state)                      # compile + warm up
     jax.block_until_ready(out)
 
+    import jax.numpy as jnp
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         for _ in range(nsteps):
             out = fn(out)
-        jax.block_until_ready(out)
+        # scalar readback: airtight sync on every backend (verified
+        # equal to block_until_ready on this stack for the step fn)
+        float(jnp.sum(out.bgc.surface_ph))
         best = min(best, (time.perf_counter() - t0) / nsteps)
     return ncol / best
 
@@ -118,19 +121,71 @@ def _co2calc_mode(repeats):
             jnp.asarray(rng.uniform(0, 3.5, n)),
             jnp.asarray(rng.uniform(0, 150, n)),
             jnp.full(n, 6.0), jnp.full(n, 9.0))
-    fn = jax.jit(lambda *a: co3_terms(*a, True))
-    out = fn(*args)
-    jax.block_until_ready(out)
+    # a scalar readback, not block_until_ready: the only airtight
+    # synchronization on every backend (incl. the axon relay)
+    fn = jax.jit(lambda *a: sum(jnp.sum(x) for x in co3_terms(*a, True)))
+    float(fn(*args))
     best = float("inf")
     for _ in range(max(repeats, 3)):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        float(fn(*args))
         best = min(best, time.perf_counter() - t0)
     print(json.dumps({
         "metric": "co2calc_cells_per_s_cold_bracket_f64",
         "value": round(n / best, 1),
         "unit": f"pH solves/s ({n}-cell batch, wide bracket)",
         "vs_baseline": 1.0,
+    }))
+
+
+def _pallas_co2_mode(repeats):
+    """fp32 carbonate dual-solve: fused Pallas kernel vs the XLA path,
+    on the default backend.  vs_baseline = XLA time / Pallas time."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from ocean_bgc_tpu.ops.carbonate import co3_sat_vals, co3_terms_dual
+    from ocean_bgc_tpu.ops.pallas_carbonate import co3_terms_dual_sat_pallas
+
+    n = int(os.environ.get("BENCH_CO2_N", "491520"))
+    rng = np.random.default_rng(7)
+    f32 = jnp.float32
+    args = (jnp.asarray(rng.uniform(0, 5000, n), f32),
+            jnp.asarray(rng.uniform(-1.8, 31, n), f32),
+            jnp.asarray(rng.uniform(30, 40, n), f32),
+            jnp.asarray(rng.uniform(1800, 2400, n), f32),
+            jnp.asarray(rng.uniform(2000, 2500, n), f32),
+            jnp.asarray(rng.uniform(0, 3.5, n), f32),
+            jnp.asarray(rng.uniform(0, 150, n), f32),
+            jnp.full(n, 6.0, f32), jnp.full(n, 9.0, f32),
+            jnp.full(n, 6.1, f32), jnp.full(n, 8.9, f32),
+            jnp.asarray(rng.uniform(0, 5000, n) > 10.0))
+
+    def pallas_fn(*a):
+        pa, pb, sc = co3_terms_dual_sat_pallas(*a)
+        return sum(jnp.sum(x) for x in pa + pb + sc)
+
+    xla_fn = jax.jit(lambda *a: sum(
+        jnp.sum(x) for x in
+        (lambda d: d[0] + d[1])(co3_terms_dual(*a[:11], a[11]))
+        + co3_sat_vals(a[0], a[1], a[2], a[11])))
+
+    def best_of(fn):
+        float(fn(*args))
+        best = float("inf")
+        for _ in range(max(repeats, 3)):
+            t0 = time.perf_counter()
+            float(fn(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    tp = best_of(pallas_fn)
+    tx = best_of(xla_fn)
+    print(json.dumps({
+        "metric": "pallas_carbonate_dual_solves_per_s_f32",
+        "value": round(2 * n / tp, 1),
+        "unit": f"pH solves/s ({n}-cell batch; XLA path: {2*n/tx:.0f})",
+        "vs_baseline": round(tx / tp, 3),
     }))
 
 
@@ -159,6 +214,9 @@ def main():
         return
     if os.environ.get("BENCH_MODE") == "co2calc":
         _co2calc_mode(repeats)
+        return
+    if os.environ.get("BENCH_MODE") == "pallas_co2":
+        _pallas_co2_mode(repeats)
         return
 
     device = jax.devices()[0]

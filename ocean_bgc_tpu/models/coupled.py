@@ -99,6 +99,7 @@ def evaluate_tendencies(
     params: ModelParams,
     *,
     compute_diags: bool = True,
+    carbonate_impl: str = "xla",
 ) -> Tuple[CoupledTendencies, Dict[str, jax.Array]]:
     """The coupled model's right-hand side: surface fluxes + all three
     source-sink kernels, as d(state)/dt pytrees."""
@@ -120,7 +121,7 @@ def evaluate_tendencies(
     bgc_out = bgc_source_sink(
         state.bgc.tracers, grid, forcing,
         state.bgc.ph_prev_3d, state.bgc.ph_prev_alt_3d, params.bgc,
-        compute_diags=compute_diags)
+        compute_diags=compute_diags, carbonate_impl=carbonate_impl)
     dms_tend, dms_diags = dms_source_sink(
         dms_tracer_block(state), grid.cell_thickness, active,
         forcing.sst, forcing.shortwave_surface, params.dms)
@@ -187,11 +188,13 @@ def step(
     dt: float,
     *,
     compute_diags: bool = True,
+    carbonate_impl: str = "xla",
 ) -> Tuple[CoupledState, Dict[str, jax.Array]]:
     """One coupled forward-Euler timestep (the host models' standard
     coupling scheme). Returns (state', diagnostics)."""
     tend, diags = evaluate_tendencies(state, grid, forcing, params,
-                                      compute_diags=compute_diags)
+                                      compute_diags=compute_diags,
+                                      carbonate_impl=carbonate_impl)
     return apply_update(state, tend, dt), diags
 
 
@@ -204,13 +207,15 @@ def run(
     nsteps: int,
     *,
     compute_diags: bool = False,
+    carbonate_impl: str = "xla",
 ) -> Tuple[CoupledState, Dict[str, jax.Array]]:
     """Integrate ``nsteps`` with constant forcing as one compiled scan.
     Returns the final state and the final step's diagnostics."""
 
     def body(s, _):
         s2, d = step(s, grid, forcing, params, dt,
-                     compute_diags=compute_diags)
+                     compute_diags=compute_diags,
+                     carbonate_impl=carbonate_impl)
         return s2, None
 
     final, _ = jax.lax.scan(body, state, None, length=nsteps)
@@ -218,7 +223,8 @@ def run(
         # re-evaluate diagnostics at the final state (cheap relative to
         # carrying every step's diagnostics through the scan)
         _, diags = step(final, grid, forcing, params, dt,
-                        compute_diags=True)
+                        compute_diags=True,
+                        carbonate_impl=carbonate_impl)
     else:
         diags = {}
     return final, diags

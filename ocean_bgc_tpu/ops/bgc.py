@@ -72,8 +72,14 @@ def bgc_source_sink(
     params: BGCParams,
     *,
     compute_diags: bool = True,
+    carbonate_impl: str = "xla",
 ) -> BGCSourceSinkOut:
-    """Tendencies (1/s units of each tracer) + updated pH state + diags."""
+    """Tendencies (1/s units of each tracer) + updated pH state + diags.
+
+    ``carbonate_impl``: "xla" (default; exact f64 contract) or "pallas"
+    (the fused fp32 VMEM-resident kernel of ops/pallas_carbonate.py —
+    single-precision only, for the opt-in fast path).
+    """
 
     nlev, _, ncol = tracers.shape
     autos = params.autotrophs
@@ -127,14 +133,32 @@ def bgc_source_sink(
                              ph_prev_alt_3d + c.DEL_PH, c.PHHI_3D_INIT)
     # ambient + ALT_CO2 solves of the same cell (the reference's two
     # comp_CO3terms calls, BGC_mod.F90:952-978) share coefficients
-    ((ph3d_all, h2co3_all, hco3_all, co3_all),
-     (ph3d_alt_all, h2co3_alt_all, hco3_alt_all,
-      co3_alt_all)) = co3_terms_dual(
-        depth_m_all, temp_all, salt_all, dic_all, alk_all, po4_all,
-        sio3_all, phlo_all, phhi_all, phlo_alt_all, phhi_alt_all,
-        subsurface_all)
-    sat_calc_all, sat_arag_all = co3_sat_vals(
-        depth_m_all, temp_all, salt_all, subsurface_all)
+    if carbonate_impl == "pallas":
+        from ocean_bgc_tpu.ops.pallas_carbonate import (
+            co3_terms_dual_sat_pallas)
+        ((ph3d_all, h2co3_all, hco3_all, co3_all),
+         (ph3d_alt_all, h2co3_alt_all, hco3_alt_all, co3_alt_all),
+         (sat_calc_all, sat_arag_all)) = co3_terms_dual_sat_pallas(
+            depth_m_all, temp_all, salt_all, dic_all, alk_all, po4_all,
+            sio3_all, phlo_all, phhi_all, phlo_alt_all, phhi_alt_all,
+            jnp.broadcast_to(subsurface_all, dic_all.shape))
+        dt = tracers.dtype
+        (ph3d_all, h2co3_all, hco3_all, co3_all, ph3d_alt_all,
+         h2co3_alt_all, hco3_alt_all, co3_alt_all, sat_calc_all,
+         sat_arag_all) = (
+            x.astype(dt) for x in
+            (ph3d_all, h2co3_all, hco3_all, co3_all, ph3d_alt_all,
+             h2co3_alt_all, hco3_alt_all, co3_alt_all, sat_calc_all,
+             sat_arag_all))
+    else:
+        ((ph3d_all, h2co3_all, hco3_all, co3_all),
+         (ph3d_alt_all, h2co3_alt_all, hco3_alt_all,
+          co3_alt_all)) = co3_terms_dual(
+            depth_m_all, temp_all, salt_all, dic_all, alk_all, po4_all,
+            sio3_all, phlo_all, phhi_all, phlo_alt_all, phhi_alt_all,
+            subsurface_all)
+        sat_calc_all, sat_arag_all = co3_sat_vals(
+            depth_m_all, temp_all, salt_all, subsurface_all)
 
     xs = dict(
         k=k_index,

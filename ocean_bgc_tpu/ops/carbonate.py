@@ -33,7 +33,9 @@ from ocean_bgc_tpu.constants import (
     XACC,
 )
 
-_LN10 = jnp.log(10.0)
+_LN10 = 2.302585092994045684   # ln(10)
+_LN_001 = -4.605170185988091368  # ln(1e-2)
+# python-float constants (not jnp scalars): safe to close over in Pallas
 _BRACKET_GROW_GUARD = 60   # geometric growth; reference loop is unbounded
                            # (abort commented out, co2calc.F90:931-933)
 
@@ -105,13 +107,13 @@ def carbonate_coeffs(depth_m, temp, salt, apply_pressure, *,
 
     # ff — Weiss & Price 1980 (co2calc.F90:423-431)
     ff = jnp.exp(-162.8301 + 218.2968 / tk100
-                 + 90.9241 * (dlogtk + jnp.log(1e-2)) - 1.47696 * tk1002
+                 + 90.9241 * (dlogtk + _LN_001) - 1.47696 * tk1002
                  + salt_lim * (0.025695 - 0.025225 * tk100
                                + 0.0049867 * tk1002))
 
     # k0 — Weiss 1974 (co2calc.F90:437-444)
     k0 = jnp.exp(93.4517 / tk100 - 60.2409
-                 + 23.3585 * (dlogtk + jnp.log(1e-2))
+                 + 23.3585 * (dlogtk + _LN_001)
                  + salt_lim * (0.023517 - 0.023656 * tk100
                                + 0.0047036 * tk1002))
 
@@ -316,9 +318,15 @@ def _solve_htotal_impl(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2,
     def not_bracketed(flo, fhi):
         return ((flo > 0.0) & (fhi > 0.0)) | ((flo < 0.0) & (fhi < 0.0))
 
+    def _any(mask):
+        # jnp.any via an f32 max-reduce: same result, but Mosaic-lowerable
+        # (its reduce_or proxy squeezes an f64 scalar under x64, and int
+        # reductions return an i64 scalar it cannot legalize either)
+        return jnp.max(mask.astype(jnp.float32)) > 0.5
+
     def bracket_cond(carry):
         x1c, x2c, flo, fhi, it = carry
-        return jnp.any(not_bracketed(flo, fhi)) & (it < _BRACKET_GROW_GUARD)
+        return _any(not_bracketed(flo, fhi)) & (it < _BRACKET_GROW_GUARD)
 
     def bracket_body(carry):
         x1c, x2c, flo, fhi, it = carry
@@ -345,15 +353,22 @@ def _solve_htotal_impl(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2,
     dxold0 = jnp.abs(xlo - xhi)
     f0, df0 = f_of(soln0)
 
-    active0 = jnp.ones_like(soln0, dtype=bool)
-    iters0 = jnp.zeros_like(soln0, dtype=jnp.int32)
+    # the lane-active mask rides the carry as int32, not bool: Mosaic
+    # cannot yield vector<i1> from scf.while (Pallas path)
+    active0 = jnp.ones_like(soln0, dtype=jnp.int32)
+    # the per-lane iteration counter is observability-only; carrying it
+    # also trips a Mosaic relayout bug inside Pallas, so it only exists
+    # on the stats path
+    iters0 = (jnp.zeros_like(soln0, dtype=jnp.int32) if with_stats
+              else jnp.zeros((), jnp.int32))
 
     def iter_cond(carry):
-        _, _, _, _, _, _, _, active, _, it = carry
-        return jnp.any(active) & (it < MAXIT)
+        _, _, _, _, _, _, _, active_i, _, it = carry
+        return _any(active_i > 0) & (it < MAXIT)
 
     def iter_body(carry):
-        soln, xlo_c, xhi_c, f, df, dx, dxold, active, iters, it = carry
+        soln, xlo_c, xhi_c, f, df, dx, dxold, active_i, iters, it = carry
+        active = active_i > 0
         # choose bisection when Newton would leave the bracket or is
         # converging too slowly (co2calc.F90:962-976)
         leave_bracket = (((soln - xhi_c) * df - f)
@@ -366,7 +381,10 @@ def _solve_htotal_impl(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2,
         dx_newt = -f / df
         dx_n = jnp.where(bisect, dx_bis, dx_newt)
         soln_n = jnp.where(bisect, xlo_c + dx_bis, soln + dx_newt)
-        stalled = jnp.where(bisect, xlo_c == soln_n, soln == soln_n)
+        # logical form of where(bisect, xlo==soln_n, soln==soln_n):
+        # Mosaic cannot select between i1 vectors
+        stalled = ((bisect & (xlo_c == soln_n))
+                   | (~bisect & (soln == soln_n)))
         converged = stalled | (jnp.abs(dx_n) < xacc)
 
         soln_out = jnp.where(active, soln_n, soln)
@@ -382,16 +400,16 @@ def _solve_htotal_impl(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2,
         go_hi = (f_n >= 0.0) & active_n
         xlo_out = jnp.where(go_lo, soln_out, xlo_c)
         xhi_out = jnp.where(go_hi, soln_out, xhi_c)
-        iters_out = iters + active.astype(jnp.int32)
+        iters_out = (iters + active_i if with_stats else iters)
         return (soln_out, xlo_out, xhi_out, f_out, df_out, dx_out,
-                dxold_out, active_n, iters_out, it + 1)
+                dxold_out, active_n.astype(jnp.int32), iters_out, it + 1)
 
     (soln, _, _, _, _, _, _, still_active, iters, _) = jax.lax.while_loop(
         iter_cond, iter_body,
         (soln0, xlo, xhi, f0, df0, dxold0, dxold0, active0, iters0,
          jnp.asarray(0, jnp.int32)))
     if with_stats:
-        return soln, iters, ~still_active
+        return soln, iters, still_active == 0
     return soln
 
 

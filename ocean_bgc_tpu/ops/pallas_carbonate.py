@@ -1,0 +1,156 @@
+"""Pallas TPU kernel for the carbonate-chemistry solve (fp32 fast path).
+
+The hottest op in the model is the dual pH root-find over every (level,
+column) cell (two bracketed-Newton solves per cell, BGC_mod.F90:952-978 →
+co2calc.F90:872-997).  The XLA path in :mod:`ocean_bgc_tpu.ops.bgc` already
+hoists and batches it; this module goes one step further for the opt-in
+single-precision path: one Pallas kernel per block of cells that keeps the
+entire solve — the 11 equilibrium-constant polynomials, the bracket growth,
+the Newton/bisection iteration, the speciation, and the calcite/aragonite
+saturation values — resident in VMEM, with cells laid out on the VPU lanes
+(blocks of ``block_rows`` sublanes x 128 lanes).  HBM sees exactly one read
+of the 12 input fields and one write of the 10 outputs per cell; every
+Newton iterate lives on-chip.
+
+float32 only: Mosaic has no f64 story, and the f64 contract path keeps the
+XLA implementation (bit-identical to the oracle).  The math is shared —
+the kernel body calls the same :mod:`ocean_bgc_tpu.ops.carbonate` routines
+the XLA path uses, so there is a single source of truth for the formulas;
+only the scheduling differs.
+
+On non-TPU backends the kernel runs in interpreter mode (slow, for tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ocean_bgc_tpu.ops.carbonate import (
+    _solve_htotal_impl,
+    _to_mass_units,
+    carbonate_coeffs,
+    co3_sat_vals,
+)
+from ocean_bgc_tpu.constants import MASS_TO_VOL
+
+_LANES = 128
+
+# benign stand-ins for the pad cells (same trick the XLA path uses for
+# below-floor cells): a typical open-ocean cell on which the solver
+# converges in a few iterations, so padding never slows the block down
+_PAD_VALUES = {
+    "depth": 0.0, "temp": 10.0, "salt": 35.0, "dic": 2000.0, "ta": 2300.0,
+    "pt": 0.5, "sit": 30.0, "phlo_a": 6.0, "phhi_a": 9.0,
+    "phlo_b": 6.0, "phhi_b": 9.0, "press": 0.0,
+}
+_ARG_ORDER = ("depth", "temp", "salt", "dic", "ta", "pt", "sit",
+              "phlo_a", "phhi_a", "phlo_b", "phhi_b", "press")
+
+
+def _carbonate_kernel(depth_ref, temp_ref, salt_ref, dic_ref, ta_ref,
+                      pt_ref, sit_ref, phlo_a_ref, phhi_a_ref,
+                      phlo_b_ref, phhi_b_ref, press_ref,
+                      ph_a_ref, h2co3_a_ref, hco3_a_ref, co3_a_ref,
+                      ph_b_ref, h2co3_b_ref, hco3_b_ref, co3_b_ref,
+                      sat_calc_ref, sat_arag_ref):
+    depth = depth_ref[:]
+    temp = temp_ref[:]
+    salt = salt_ref[:]
+    apply_pressure = press_ref[:] > 0.5
+
+    coeffs = carbonate_coeffs(depth, temp, salt, apply_pressure,
+                              k1_k2_ph_tot=True)
+    dic, ta, pt, sit = _to_mass_units(dic_ref[:], ta_ref[:], pt_ref[:],
+                                      sit_ref[:])
+    k12 = coeffs.k1 * coeffs.k2
+
+    ln10 = 2.302585092994045684
+
+    def solve(phlo, phhi):
+        x1 = jnp.exp(-ln10 * phhi)
+        x2 = jnp.exp(-ln10 * phlo)
+        h = _solve_htotal_impl(coeffs, dic, ta, pt, sit, x1, x2)
+        h2 = h * h
+        denom = 1.0 / (h2 + coeffs.k1 * h + k12)
+        h2co3 = dic * h2 * denom * MASS_TO_VOL
+        hco3 = dic * coeffs.k1 * h * denom * MASS_TO_VOL
+        co3 = dic * k12 * denom * MASS_TO_VOL
+        return -jnp.log10(h), h2co3, hco3, co3
+
+    ph_a_ref[:], h2co3_a_ref[:], hco3_a_ref[:], co3_a_ref[:] = solve(
+        phlo_a_ref[:], phhi_a_ref[:])
+    ph_b_ref[:], h2co3_b_ref[:], hco3_b_ref[:], co3_b_ref[:] = solve(
+        phlo_b_ref[:], phhi_b_ref[:])
+    sat_calc_ref[:], sat_arag_ref[:] = co3_sat_vals(
+        depth, temp, salt, apply_pressure)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def _dual_sat_padded(args_2d, block_rows, interpret):
+    rows = args_2d[0].shape[0]
+    # np.int32(0), not 0: with jax_enable_x64 the literal becomes an i64
+    # scalar in the index-map mini-function, which Mosaic cannot return
+    import numpy as _np
+    spec = pl.BlockSpec((block_rows, _LANES),
+                        lambda i: (i, _np.int32(0)),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+    return pl.pallas_call(
+        _carbonate_kernel,
+        grid=(rows // block_rows,),
+        in_specs=[spec] * len(args_2d),
+        out_specs=(spec,) * 10,
+        out_shape=(shape,) * 10,
+        interpret=interpret,
+    )(*args_2d)
+
+
+def co3_terms_dual_sat_pallas(depth_m, temp, salt, dic, ta, pt, sit,
+                              phlo_a, phhi_a, phlo_b, phhi_b,
+                              apply_pressure, *, block_rows=32,
+                              interpret=None):
+    """Fused fp32 dual carbonate solve + saturation values, one Pallas
+    kernel over all cells.
+
+    Drop-in for the hoisted block in ``bgc_source_sink``: semantically
+    ``co3_terms_dual(...) + co3_sat_vals(...)`` (comp_CO3terms,
+    co2calc.F90:214-316 twice + comp_co3_sat_vals, co2calc.F90:1096-1238),
+    evaluated in float32.
+
+    Inputs may be any (broadcastable-to-common) shape; outputs match the
+    broadcast shape.  ``apply_pressure`` is the per-cell subsurface gate.
+
+    Returns ``((ph_a, h2co3_a, hco3_a, co3_a),
+               (ph_b, h2co3_b, hco3_b, co3_b),
+               (co3_sat_calc, co3_sat_arag))``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    named = dict(depth=depth_m, temp=temp, salt=salt, dic=dic, ta=ta,
+                 pt=pt, sit=sit, phlo_a=phlo_a, phhi_a=phhi_a,
+                 phlo_b=phlo_b, phhi_b=phhi_b,
+                 press=jnp.asarray(apply_pressure))
+    named["press"] = named["press"].astype(jnp.float32)
+    shape = jnp.broadcast_shapes(*(jnp.shape(v) for v in named.values()))
+    n = 1
+    for s in shape:
+        n *= s
+    tile = block_rows * _LANES
+    n_pad = -(-max(n, 1) // tile) * tile
+
+    flat = []
+    for name in _ARG_ORDER:
+        v = jnp.broadcast_to(jnp.asarray(named[name], jnp.float32),
+                             shape).reshape(-1)
+        v = jnp.pad(v, (0, n_pad - n), constant_values=_PAD_VALUES[name])
+        flat.append(v.reshape(n_pad // _LANES, _LANES))
+
+    outs = _dual_sat_padded(tuple(flat), block_rows, interpret)
+    outs = [o.reshape(-1)[:n].reshape(shape) for o in outs]
+    return tuple(outs[0:4]), tuple(outs[4:8]), tuple(outs[8:10])
