@@ -25,14 +25,15 @@ import time
 import jax
 
 
-def _throughput(device, ncol, nlev, nsteps, repeats, compute_diags):
+def _throughput(device, ncol, nlev, nsteps, repeats, compute_diags,
+                dtype=None):
     from ocean_bgc_tpu.models.coupled import step
     from ocean_bgc_tpu.params import ModelParams
     from ocean_bgc_tpu.utils.synthetic import synthetic_world
 
     params = ModelParams()
     state, grid, forcing = synthetic_world(nlev=nlev, ncol=ncol, seed=17,
-                                           ragged=False)
+                                           ragged=False, dtype=dtype)
     state, grid, forcing = jax.device_put((state, grid, forcing), device)
 
     # jit ONE step (the smallest program — TPU compile time on this image
@@ -219,8 +220,11 @@ def main():
         _pallas_co2_mode(repeats)
         return
 
+    import jax.numpy as jnp
+    dtype = jnp.float32 if os.environ.get("BENCH_DTYPE") == "f32" else None
     device = jax.devices()[0]
-    value = _throughput(device, ncol, nlev, nsteps, repeats, diags)
+    value = _throughput(device, ncol, nlev, nsteps, repeats, diags,
+                        dtype=dtype)
 
     # host-CPU baseline (serial-Fortran stand-in): same physics, one CPU
     # device, smaller column count for wall-clock sanity
@@ -228,13 +232,14 @@ def main():
         cpu = jax.devices("cpu")[0]
         cpu_ncol = min(ncol, 512)
         cpu_value = _throughput(cpu, cpu_ncol, nlev, max(2, nsteps // 5),
-                                1, diags)
+                                1, diags, dtype=dtype)
         vs_baseline = value / cpu_value
     except Exception:
         vs_baseline = 1.0
 
+    prec = "f32" if dtype is not None else "f64"
     print(json.dumps({
-        "metric": "columns_per_s_per_chip_full_coupled_step_f64"
+        "metric": f"columns_per_s_per_chip_full_coupled_step_{prec}"
                   + ("_with_diags" if diags else ""),
         "value": round(value, 2),
         "unit": "columns/s/chip (60-level, 35-tracer step)",

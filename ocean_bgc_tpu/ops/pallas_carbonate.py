@@ -71,21 +71,31 @@ def _carbonate_kernel(depth_ref, temp_ref, salt_ref, dic_ref, ta_ref,
 
     ln10 = 2.302585092994045684
 
-    def solve(phlo, phhi):
-        x1 = jnp.exp(-ln10 * phhi)
-        x2 = jnp.exp(-ln10 * phlo)
-        h = _solve_htotal_impl(coeffs, dic, ta, pt, sit, x1, x2)
-        h2 = h * h
-        denom = 1.0 / (h2 + coeffs.k1 * h + k12)
-        h2co3 = dic * h2 * denom * MASS_TO_VOL
-        hco3 = dic * coeffs.k1 * h * denom * MASS_TO_VOL
-        co3 = dic * k12 * denom * MASS_TO_VOL
-        return -jnp.log10(h), h2co3, hco3, co3
-
-    ph_a_ref[:], h2co3_a_ref[:], hco3_a_ref[:], co3_a_ref[:] = solve(
-        phlo_a_ref[:], phhi_a_ref[:])
-    ph_b_ref[:], h2co3_b_ref[:], hco3_b_ref[:], co3_b_ref[:] = solve(
-        phlo_b_ref[:], phhi_b_ref[:])
+    # both scenarios in ONE stacked solve (sublane-concatenated): the
+    # while_loop runs max(iters_a, iters_b) instead of their sum
+    x1 = jnp.concatenate([jnp.exp(-ln10 * phhi_a_ref[:]),
+                          jnp.exp(-ln10 * phhi_b_ref[:])], axis=0)
+    x2 = jnp.concatenate([jnp.exp(-ln10 * phlo_a_ref[:]),
+                          jnp.exp(-ln10 * phlo_b_ref[:])], axis=0)
+    coeffs2 = type(coeffs)(*(jnp.concatenate([c, c], axis=0)
+                             for c in coeffs))
+    dic2 = jnp.concatenate([dic, dic], axis=0)
+    ta2 = jnp.concatenate([ta, ta], axis=0)
+    pt2 = jnp.concatenate([pt, pt], axis=0)
+    sit2 = jnp.concatenate([sit, sit], axis=0)
+    h = _solve_htotal_impl(coeffs2, dic2, ta2, pt2, sit2, x1, x2)
+    h2 = h * h
+    k12_2 = coeffs2.k1 * coeffs2.k2
+    denom = 1.0 / (h2 + coeffs2.k1 * h + k12_2)
+    ph = -jnp.log10(h)
+    h2co3 = dic2 * h2 * denom * MASS_TO_VOL
+    hco3 = dic2 * coeffs2.k1 * h * denom * MASS_TO_VOL
+    co3 = dic2 * k12_2 * denom * MASS_TO_VOL
+    nr = dic.shape[0]
+    ph_a_ref[:], h2co3_a_ref[:] = ph[:nr], h2co3[:nr]
+    hco3_a_ref[:], co3_a_ref[:] = hco3[:nr], co3[:nr]
+    ph_b_ref[:], h2co3_b_ref[:] = ph[nr:], h2co3[nr:]
+    hco3_b_ref[:], co3_b_ref[:] = hco3[nr:], co3[nr:]
     sat_calc_ref[:], sat_arag_ref[:] = co3_sat_vals(
         depth, temp, salt, apply_pressure)
 

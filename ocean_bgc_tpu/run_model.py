@@ -47,6 +47,15 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="steps between history writes (0 = none)")
     p.add_argument("--fp32", action="store_true",
                    help="opt-in single-precision fast path")
+    p.add_argument("--world",
+                   help="NetCDF world file (io.model_io.save_world "
+                        "layout) supplying grid/forcing/initial state "
+                        "instead of the synthetic generator")
+    p.add_argument("--save-world",
+                   help="write the final grid/forcing/state as a "
+                        "NetCDF world file")
+    p.add_argument("--netcdf-history", action="store_true",
+                   help="write history as NetCDF instead of npz")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -72,8 +81,15 @@ def main(argv=None) -> int:
         params = params_from_toml(args.config)
 
     dtype = jnp.float32 if args.fp32 else None
-    state, grid, forcing = synthetic_world(
-        nlev=args.nlev, ncol=args.ncol, seed=args.seed, dtype=dtype)
+    if args.world:
+        from ocean_bgc_tpu.io.model_io import load_world
+        state, grid, forcing = load_world(args.world, dtype=dtype)
+        if not args.quiet:
+            print(f"world <- {args.world} "
+                  f"({state.bgc.nlev} levels x {state.bgc.ncol} columns)")
+    else:
+        state, grid, forcing = synthetic_world(
+            nlev=args.nlev, ncol=args.ncol, seed=args.seed, dtype=dtype)
 
     start_step = 0
     if args.restore:
@@ -109,9 +125,20 @@ def main(argv=None) -> int:
                 tavg = TavgState.create(diags)
             tavg = tavg.accumulate(diags)
             if (i + 1) % args.history_every == 0:
-                path = write_history(
-                    os.path.join(args.out, f"hist_{i + 1:06d}"), tavg,
-                    attrs={"dt": str(args.dt), "step": str(i + 1)})
+                if args.netcdf_history:
+                    from ocean_bgc_tpu.io.model_io import (
+                        save_history_netcdf)
+                    path = save_history_netcdf(
+                        os.path.join(args.out, f"hist_{i + 1:06d}.nc"),
+                        {k: np.asarray(v)
+                         for k, v in tavg.means().items()},
+                        nlev=state.bgc.nlev, ncol=state.bgc.ncol,
+                        count=int(tavg.count),
+                        attrs={"dt": args.dt, "step": np.int32(i + 1)})
+                else:
+                    path = write_history(
+                        os.path.join(args.out, f"hist_{i + 1:06d}"), tavg,
+                        attrs={"dt": str(args.dt), "step": str(i + 1)})
                 tavg = tavg.reset()
                 if not args.quiet:
                     print(f"history -> {path}")
@@ -125,6 +152,13 @@ def main(argv=None) -> int:
 
     final_ck = ckpt.save(os.path.join(args.out, "ck_final"), state,
                          step=start_step + args.steps)
+    if args.save_world:
+        from ocean_bgc_tpu.io.model_io import save_world
+        save_world(args.save_world, jax.device_get(state),
+                   jax.device_get(grid), jax.device_get(forcing),
+                   attrs={"step": np.int32(start_step + args.steps)})
+        if not args.quiet:
+            print(f"world -> {args.save_world}")
     _, final_diags = step(state, grid, forcing, params, args.dt,
                           compute_diags=True)
     jint = float(np.abs(np.asarray(final_diags["Jint_Ctot"])).max())

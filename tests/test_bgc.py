@@ -181,3 +181,23 @@ def test_bgc_land_and_padding(rng):
     for col in range(tend.shape[2]):
         np.testing.assert_array_equal(ph_out[kmax[col]:, col],
                                       ph_prev[kmax[col]:, col])
+
+
+def test_level_scan_unroll_ulp_equivalent(rng, monkeypatch):
+    """Partial unrolling of the level scan is a scheduling choice: the
+    recurrence order is unchanged, but XLA may re-fuse/contract ops per
+    unrolled body, so results agree to a few ulps (measured max 4e-15
+    relative), not bitwise.  The accuracy contract (allclose vs oracle)
+    is unaffected; this pins the deviation at the ulp level."""
+    import ocean_bgc_tpu.ops.bgc as bgc_mod
+
+    trc, grid, forcing, params, ph_prev, ph_alt = make_inputs(rng)
+    outs = []
+    for unroll in (1, 4, 7):
+        monkeypatch.setattr(bgc_mod, "_LEVEL_SCAN_UNROLL", unroll)
+        out = bgc_source_sink(jnp.asarray(trc), grid, forcing,
+                              jnp.asarray(ph_prev), jnp.asarray(ph_alt),
+                              params, compute_diags=False)
+        outs.append(np.asarray(out.tendencies))
+    for other in outs[1:]:
+        np.testing.assert_allclose(other, outs[0], rtol=1e-13, atol=1e-19)
