@@ -1,1 +1,1 @@
-from ocean_bgc_tpu.models import coupled  # noqa: F401
+from ocean_bgc_tpu.models import coupled, forcing_series, integrators  # noqa: F401
