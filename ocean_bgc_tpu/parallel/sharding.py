@@ -109,6 +109,37 @@ def make_sharded_step(mesh: Mesh, params: ModelParams, dt: float, *,
     return jax.jit(fn)
 
 
+def make_sharded_forced_run(mesh: Mesh, params: ModelParams, dt: float,
+                            nsteps: int, record_dt: float, *,
+                            interp: str = "linear"):
+    """Distributed time-varying-forcing integration: ``shard_map`` of
+    :func:`ocean_bgc_tpu.models.forcing_series.run_forced` over the
+    columns mesh.  The forcing series shards exactly like a snapshot
+    (columns on the last axis; the time-record axis is local to every
+    chip), so climatology interpolation happens on-chip with zero
+    collectives.  Returns jitted ``fn(state, grid, series) -> state'``.
+    """
+    from ocean_bgc_tpu.models.forcing_series import run_forced
+
+    def local_run(state, grid, series):
+        final, _ = run_forced(state, grid, series, params, dt, nsteps,
+                              record_dt, interp=interp)
+        return final
+
+    def specs_like(tree):
+        return jax.tree.map(_col_spec, tree)
+
+    def fn(state, grid, series):
+        return jax.shard_map(
+            local_run, mesh=mesh,
+            in_specs=(specs_like(state), specs_like(grid),
+                      specs_like(series)),
+            out_specs=specs_like(state),
+        )(state, grid, series)
+
+    return jax.jit(fn)
+
+
 def make_pjit_step(mesh: Mesh, params: ModelParams, dt: float, *,
                    compute_diags: bool = False):
     """The compiler-driven alternative: jit with sharding constraints and

@@ -72,3 +72,35 @@ def test_multi_step_sharded():
     new_state, gdiags = fn(s_state, s_grid, s_forcing)
     assert np.isfinite(np.asarray(new_state.bgc.tracers)).all()
     assert np.isfinite(float(gdiags["photoC_TOT_zint"]))
+
+
+def test_sharded_forced_run_matches_single_device():
+    """run_forced under shard_map over the 8-device mesh == unsharded."""
+    import jax.numpy as jnp
+    from ocean_bgc_tpu.models.forcing_series import (run_forced,
+                                                     stack_forcings)
+    from ocean_bgc_tpu.parallel import (make_mesh,
+                                        make_sharded_forced_run,
+                                        shard_world)
+    from ocean_bgc_tpu.parallel.sharding import col_sharding_tree
+
+    nlev, ncol, nrec, nsteps = 4, 16, 3, 4
+    worlds = [synthetic_world(nlev=nlev, ncol=ncol, seed=300 + r,
+                              ragged=False) for r in range(nrec)]
+    state, grid, _ = worlds[0]
+    series = stack_forcings([w[2] for w in worlds])
+    params = ModelParams()
+    record_dt = 2 * 3600.0
+
+    want, _ = run_forced(state, grid, series, params, 3600.0, nsteps,
+                         record_dt)
+
+    mesh = make_mesh()
+    state_s, grid_s, _ = shard_world(state, grid, worlds[0][2], mesh)
+    series_s = jax.device_put(series, col_sharding_tree(series, mesh))
+    fn = make_sharded_forced_run(mesh, params, 3600.0, nsteps, record_dt)
+    got = fn(state_s, grid_s, series_s)
+
+    np.testing.assert_allclose(np.asarray(got.bgc.tracers),
+                               np.asarray(want.bgc.tracers),
+                               rtol=1e-12, atol=1e-18)
