@@ -1,1 +1,6 @@
-from ocean_bgc_tpu.models import coupled, forcing_series, integrators  # noqa: F401
+from ocean_bgc_tpu.models import (  # noqa: F401
+    chunked,
+    coupled,
+    forcing_series,
+    integrators,
+)
