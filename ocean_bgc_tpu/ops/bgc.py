@@ -7,15 +7,29 @@ solves per cell (ambient + alternative CO2), the Armstrong ballast
 sinking-particle recurrence, nitrification/denitrification, DOM cycling,
 and ~95 diagnostics.
 
-Structure (vs. the reference's ``column_loop``/``k-loop`` nest):
+Structure (vs. the reference's ``column_loop``/``k-loop`` nest) — the
+level dimension is *parallel* everywhere the physics allows it:
 
-* columns -> the vector lanes: every quantity below is a ``(ncol,)``
-  array inside the level loop; a whole shard of columns advances in
-  lock-step on the VPU.
-* levels  -> one ``lax.scan``; the carry holds exactly the reference's
-  loop-carried state: PAR leaving the cell above, the five particle-class
-  sinking fluxes + QA dust deficit, the saturation-depth search state, and
-  the CO3 anomalies of the level above.
+* columns -> the vector lanes: every quantity below carries columns on
+  its last axis; a whole shard of columns advances in lock-step on the
+  VPU.
+* levels  -> batched ``(nlev, ncol)`` arrays for everything that is
+  per-cell algebra (the entire ecosystem kinetics, tendency assembly and
+  diagnostics).  The reference's three *sequential* level couplings are
+  factored out and solved in closed or vectorized form:
+    - PAR attenuation (BGC_mod.F90:907-924) is an exponential-decay
+      recurrence with per-cell decay factors known up front -> a
+      cumulative product over levels (one ``cumprod``), not a scan;
+    - the carbonate saturation-depth search (:1003-1032) becomes a
+      vectorized first-crossing search over the pre-solved CO3 field;
+    - only the Armstrong ballast sinking recurrence (:2242-2255), whose
+      carry is clamped (nonlinear), remains a ``lax.scan`` — with a tiny
+      body (the particulate flux algebra + Fe scavenging), not the whole
+      kernel.  This removes the scan xs/ys materialization of the
+      ecosystem block (the dominant HBM traffic of the old design).
+* the carbonate pH solves are hoisted out entirely and batched over all
+  (nlev x ncol) cells: one masked while_loop instead of nlev sequential
+  ones.
 * autotroph groups -> a Python loop over 4 static trait sets, unrolled at
   trace time: trait-dependent branches (Nfixer / calcifier / Si-user /
   temp-function) are resolved statically instead of masked, which is both
@@ -36,7 +50,6 @@ import jax.numpy as jnp
 
 from ocean_bgc_tpu import constants as c
 from ocean_bgc_tpu.ops.carbonate import co3_sat_vals, co3_terms_dual
-from ocean_bgc_tpu.ops.par import par_through_cell
 from ocean_bgc_tpu.ops.particulates import (
     ParticleCarry,
     init_particle_carry,
@@ -59,17 +72,83 @@ class BGCSourceSinkOut:
     diags: Dict[str, jax.Array]
 
 
-# partially unrolling the level scan lets XLA software-pipeline the
-# sequential recurrences across levels (measured on v5e, 60 levels x
-# 8192 columns f64: 45.3 -> 38.0 ms/step, +19% columns/s).  The
-# recurrence order is preserved; XLA's per-body re-fusion shifts results
-# by a few ulps at most (pinned by tests/test_bgc.py)
+# partially unrolling the (now particulate-only) level scan lets XLA
+# software-pipeline the sinking recurrence across levels.  The recurrence
+# order is preserved; XLA's per-body re-fusion shifts results by a few
+# ulps at most (pinned by tests/test_bgc.py)
 _LEVEL_SCAN_UNROLL = int(os.environ.get("OBGC_LEVEL_UNROLL", "4"))
 
 
 def _safe_div(num, den):
     """num/den with den==0 mapped to 0 (guarded selects, not NaN)."""
     return jnp.where(den != 0.0, num / jnp.where(den != 0.0, den, 1.0), 0.0)
+
+
+def _par_field(par_surf, total_chl, dz, active):
+    """PAR at the top/average/absorption of every cell, in one shot.
+
+    The reference attenuates PAR sequentially down the column
+    (BGC_mod.F90:907-924): PAR entering cell k is PAR leaving cell k-1,
+    frozen below the ocean floor.  Because each cell's two-band Morel
+    absorption KPARdz depends only on that cell's own chlorophyll, the
+    recurrence has the closed form
+        PAR_in(k) = PAR_surf * prod_{j<k, active} exp(-KPARdz(j)),
+    i.e. an exclusive cumulative product over levels — evaluated here as
+    one ``cumprod`` instead of a scan, making the level axis parallel.
+    """
+    chl = jnp.maximum(total_chl, 0.02)
+    kpar = jnp.where(chl < 0.13224,
+                     0.000919 * chl ** 0.3536,
+                     0.001131 * chl ** 0.4562)
+    kpar_dz = kpar * dz
+    att = jnp.exp(-kpar_dz)
+    # inactive cells pass PAR through unchanged (the scan carry freeze)
+    att_eff = jnp.where(active, att, 1.0)
+    cum = jnp.cumprod(att_eff, axis=0)
+    ones = jnp.ones_like(cum[:1])
+    par_in = par_surf[None, :] * jnp.concatenate([ones, cum[:-1]], axis=0)
+    par_out = par_in * att
+    par_avg = par_in * (1.0 - att) / kpar_dz
+    return par_in, par_out, par_avg, kpar_dz
+
+
+def _zsat_search(anom, center, prev_center, bottom, active, kmax):
+    """Vectorized saturation-depth search (BGC_mod.F90:1003-1032).
+
+    Reproduces the reference's downward state machine exactly: the
+    surface cell initializes the state to "supersaturated" (-1) iff its
+    CO3 anomaly is positive; the first deeper active cell with anom<=0
+    records the interpolated crossing depth; a column still
+    supersaturated at its bottom cell records the bottom depth (except a
+    single-level column, whose surface init happens after the
+    bottom-fill check and therefore stays -1 — faithfully replicated).
+    With the carbonate field pre-solved for all cells, the search is a
+    first-crossing argmax over the level axis instead of a scan.
+    """
+    nlev, ncol = anom.shape
+    anom_km1 = jnp.concatenate([anom[:1], anom[:-1]], axis=0)
+    k_idx = jnp.arange(nlev)[:, None]
+    cand = active & (k_idx >= 1) & (anom <= 0.0)
+    first_k = jnp.argmax(cand, axis=0)
+    has_cross = jnp.any(cand, axis=0)
+
+    # reference: work4 = depth(k-1) + (depth(k) - depth(k-1))
+    interp_depth = prev_center + (center - prev_center)
+    den = anom_km1 - anom
+    interp_all = (interp_depth * anom_km1
+                  / jnp.where(den != 0.0, den, 1.0))
+    col = jnp.arange(ncol)
+    interp_at = interp_all[first_k, col]
+
+    kb = jnp.maximum(kmax - 1, 0)
+    bottom_depth = bottom[kb, col]
+
+    zs = jnp.where(
+        anom[0] > 0.0,
+        jnp.where(has_cross, interp_at,
+                  jnp.where(kmax == 1, -1.0, bottom_depth)),
+        0.0)
+    return jnp.where(kmax > 0, zs, 0.0)
 
 
 def bgc_source_sink(
@@ -93,7 +172,7 @@ def bgc_source_sink(
     nlev, _, ncol = tracers.shape
     autos = params.autotrophs
     nauto = len(autos)
-    active_all = grid.active_mask()                      # (nlev, ncol)
+    active = grid.active_mask()                          # (nlev, ncol)
     lat = grid.latitude                                  # (ncol,)
     north = lat >= 0.0
 
@@ -104,817 +183,748 @@ def bgc_source_sink(
     dust_flux_in = jnp.maximum(forcing.dust_flux_in, 0.0)
     par_surf = jnp.maximum(forcing.shortwave_surface, 0.0) * c.F_QSW_PAR
 
-    particle0 = init_particle_carry(dust_flux_in)
+    temp = forcing.potential_temperature                 # (nlev, ncol)
+    salt = forcing.salinity
+    dz = grid.cell_thickness
+    center = grid.cell_center_depth
+    bottom = grid.cell_bottom_depth
 
     k_index = jnp.arange(nlev)
-    is_bottom_all = (k_index[:, None] + 1) == grid.kmax[None, :]
-    zrow = jnp.zeros((1, ncol), grid.cell_center_depth.dtype)
-    prev_center = jnp.concatenate(
-        [zrow, grid.cell_center_depth[:-1]], axis=0)
-    prev_bottom = jnp.concatenate(
-        [zrow, grid.cell_bottom_depth[:-1]], axis=0)
+    is_bottom = (k_index[:, None] + 1) == grid.kmax[None, :]
+    zrow = jnp.zeros((1, ncol), center.dtype)
+    prev_center = jnp.concatenate([zrow, center[:-1]], axis=0)
+    prev_bottom = jnp.concatenate([zrow, bottom[:-1]], axis=0)
+
+    tr = trc                                             # (nlev, 30, ncol)
+    dic = tr[:, T.DIC]
+    alk = tr[:, T.ALK]
+    po4 = tr[:, T.PO4]
+    no3 = tr[:, T.NO3]
+    sio3 = tr[:, T.SIO3]
+    nh4 = tr[:, T.NH4]
+    fe = tr[:, T.FE]
+    o2 = tr[:, T.O2]
+    doc = tr[:, T.DOC]
+    zooC = tr[:, T.ZOOC]
+    don = tr[:, T.DON]
+    dofe = tr[:, T.DOFE]
+    dop = tr[:, T.DOP]
+    dopr = tr[:, T.DOPR]
+    donr = tr[:, T.DONR]
 
     # ------------------------------------------------------------------
-    # Carbonate chemistry for ALL cells at once, hoisted out of the level
-    # scan: the pH solve depends only on per-cell state, never on the
-    # scan carry, so batching it over (nlev x ncol) lanes collapses the
-    # sequential solver depth from nlev*iterations to one masked
-    # while_loop — identical per-cell results (lanes freeze on their own
-    # convergence), ~nlev-fold less serial latency on TPU.
+    # Carbonate chemistry for ALL cells at once: the pH solve depends
+    # only on per-cell state, so batching it over (nlev x ncol) lanes
+    # collapses the sequential solver depth from nlev*iterations to one
+    # masked while_loop — identical per-cell results (lanes freeze on
+    # their own convergence), ~nlev-fold less serial latency on TPU.
     # ------------------------------------------------------------------
-    depth_m_all = grid.cell_center_depth * 0.01
-    subsurface_all = (k_index > 0)[:, None]
+    depth_m = center * 0.01
+    subsurface = (k_index > 0)[:, None]
     # benign stand-ins below the ocean floor keep the solver converging
-    dic_all = jnp.where(active_all, trc[:, T.DIC], 2000.0)
-    alk_all = jnp.where(active_all, trc[:, T.ALK], 2300.0)
-    temp_all = jnp.where(active_all, forcing.potential_temperature, 10.0)
-    salt_all = jnp.where(active_all, forcing.salinity, 35.0)
-    po4_all = trc[:, T.PO4]
-    sio3_all = trc[:, T.SIO3]
+    dic_s = jnp.where(active, dic, 2000.0)
+    alk_s = jnp.where(active, alk, 2300.0)
+    temp_s = jnp.where(active, temp, 10.0)
+    salt_s = jnp.where(active, salt, 35.0)
 
-    phlo_all = jnp.where(ph_prev_3d != 0.0, ph_prev_3d - c.DEL_PH,
-                         c.PHLO_3D_INIT)
-    phhi_all = jnp.where(ph_prev_3d != 0.0, ph_prev_3d + c.DEL_PH,
-                         c.PHHI_3D_INIT)
-    phlo_alt_all = jnp.where(ph_prev_alt_3d != 0.0,
-                             ph_prev_alt_3d - c.DEL_PH, c.PHLO_3D_INIT)
-    phhi_alt_all = jnp.where(ph_prev_alt_3d != 0.0,
-                             ph_prev_alt_3d + c.DEL_PH, c.PHHI_3D_INIT)
+    phlo = jnp.where(ph_prev_3d != 0.0, ph_prev_3d - c.DEL_PH,
+                     c.PHLO_3D_INIT)
+    phhi = jnp.where(ph_prev_3d != 0.0, ph_prev_3d + c.DEL_PH,
+                     c.PHHI_3D_INIT)
+    phlo_alt = jnp.where(ph_prev_alt_3d != 0.0,
+                         ph_prev_alt_3d - c.DEL_PH, c.PHLO_3D_INIT)
+    phhi_alt = jnp.where(ph_prev_alt_3d != 0.0,
+                         ph_prev_alt_3d + c.DEL_PH, c.PHHI_3D_INIT)
     # ambient + ALT_CO2 solves of the same cell (the reference's two
     # comp_CO3terms calls, BGC_mod.F90:952-978) share coefficients
     if carbonate_impl == "pallas":
         from ocean_bgc_tpu.ops.pallas_carbonate import (
             co3_terms_dual_sat_pallas)
-        ((ph3d_all, h2co3_all, hco3_all, co3_all),
-         (ph3d_alt_all, h2co3_alt_all, hco3_alt_all, co3_alt_all),
-         (sat_calc_all, sat_arag_all)) = co3_terms_dual_sat_pallas(
-            depth_m_all, temp_all, salt_all, dic_all, alk_all, po4_all,
-            sio3_all, phlo_all, phhi_all, phlo_alt_all, phhi_alt_all,
-            jnp.broadcast_to(subsurface_all, dic_all.shape))
+        ((ph_3d, h2co3, hco3, co3),
+         (ph_3d_alt, h2co3_alt, hco3_alt, co3_alt),
+         (co3_sat_calc, co3_sat_arag)) = co3_terms_dual_sat_pallas(
+            depth_m, temp_s, salt_s, dic_s, alk_s, po4, sio3,
+            phlo, phhi, phlo_alt, phhi_alt,
+            jnp.broadcast_to(subsurface, dic_s.shape))
         dt = tracers.dtype
-        (ph3d_all, h2co3_all, hco3_all, co3_all, ph3d_alt_all,
-         h2co3_alt_all, hco3_alt_all, co3_alt_all, sat_calc_all,
-         sat_arag_all) = (
+        (ph_3d, h2co3, hco3, co3, ph_3d_alt, h2co3_alt, hco3_alt,
+         co3_alt, co3_sat_calc, co3_sat_arag) = (
             x.astype(dt) for x in
-            (ph3d_all, h2co3_all, hco3_all, co3_all, ph3d_alt_all,
-             h2co3_alt_all, hco3_alt_all, co3_alt_all, sat_calc_all,
-             sat_arag_all))
+            (ph_3d, h2co3, hco3, co3, ph_3d_alt, h2co3_alt, hco3_alt,
+             co3_alt, co3_sat_calc, co3_sat_arag))
     else:
-        ((ph3d_all, h2co3_all, hco3_all, co3_all),
-         (ph3d_alt_all, h2co3_alt_all, hco3_alt_all,
-          co3_alt_all)) = co3_terms_dual(
-            depth_m_all, temp_all, salt_all, dic_all, alk_all, po4_all,
-            sio3_all, phlo_all, phhi_all, phlo_alt_all, phhi_alt_all,
-            subsurface_all)
-        sat_calc_all, sat_arag_all = co3_sat_vals(
-            depth_m_all, temp_all, salt_all, subsurface_all)
+        ((ph_3d, h2co3, hco3, co3),
+         (ph_3d_alt, h2co3_alt, hco3_alt, co3_alt)) = co3_terms_dual(
+            depth_m, temp_s, salt_s, dic_s, alk_s, po4, sio3,
+            phlo, phhi, phlo_alt, phhi_alt, subsurface)
+        co3_sat_calc, co3_sat_arag = co3_sat_vals(
+            depth_m, temp_s, salt_s, subsurface)
 
-    xs = dict(
-        k=k_index,
-        trc=trc,
-        temp=forcing.potential_temperature,
-        salt=forcing.salinity,
-        center=grid.cell_center_depth,
-        thick=grid.cell_thickness,
-        bottom=grid.cell_bottom_depth,
-        prev_center=prev_center,
-        prev_bottom=prev_bottom,
-        fesedflux=forcing.fesedflux,
-        rtau=forcing.nutr_restore_rtau,
-        no3_clim=forcing.no3_clim,
-        po4_clim=forcing.po4_clim,
-        sio3_clim=forcing.sio3_clim,
-        ph_prev=ph_prev_3d,
-        ph_prev_alt=ph_prev_alt_3d,
-        active=active_all,
-        is_bottom=is_bottom_all,
-        ph_3d=ph3d_all, h2co3=h2co3_all, hco3=hco3_all, co3=co3_all,
-        ph_3d_alt=ph3d_alt_all, h2co3_alt=h2co3_alt_all,
-        hco3_alt=hco3_alt_all, co3_alt=co3_alt_all,
-        co3_sat_calc=sat_calc_all, co3_sat_arag=sat_arag_all,
+    ph_new = jnp.where(active, ph_3d, ph_prev_3d)
+    ph_alt_new = jnp.where(active, ph_3d_alt, ph_prev_alt_3d)
+
+    # ---- zero-mask coupled phyto pools (BGC_mod.F90:826-844) ----
+    a_chl, a_c, a_fe, a_si, a_caco3 = [], [], [], [], []
+    for g, au in enumerate(autos):
+        chl_g = tr[:, T.CHL_IND[g]]
+        c_g = tr[:, T.C_IND[g]]
+        fe_g = tr[:, T.FE_IND[g]]
+        si_g = tr[:, T.SI_IND[g]] if T.SI_IND[g] is not None else None
+        ca_g = (tr[:, T.CACO3_IND[g]]
+                if T.CACO3_IND[g] is not None else None)
+        zero_mask = (chl_g == 0.0) | (c_g == 0.0) | (fe_g == 0.0)
+        if si_g is not None:
+            zero_mask = zero_mask | (si_g == 0.0)
+        keep = ~zero_mask
+        a_chl.append(jnp.where(keep, chl_g, 0.0))
+        a_c.append(jnp.where(keep, c_g, 0.0))
+        a_fe.append(jnp.where(keep, fe_g, 0.0))
+        a_si.append(jnp.where(keep, si_g, 0.0) if si_g is not None
+                    else None)
+        a_caco3.append(jnp.where(keep, ca_g, 0.0) if ca_g is not None
+                       else None)
+
+    # ---- quota ratios (BGC_mod.F90:850-898) ----
+    thetaC, qfe, qsi, qcaco3, gqfe, gqsi = [], [], [], [], [], []
+    for g, au in enumerate(autos):
+        thetaC.append(a_chl[g] / (a_c[g] + c.EPSC))
+        qfe.append(a_fe[g] / (a_c[g] + c.EPSC))
+        qsi.append(jnp.minimum(a_si[g] / (a_c[g] + c.EPSC), c.GQSI_MAX)
+                   if au.has_si else None)
+        # growth Fe quota, reduced under low ambient Fe
+        gq = jnp.where(
+            fe < c.CKS * au.kFe,
+            jnp.maximum(au.gQfe_0 * fe / (c.CKS * au.kFe), au.gQfe_min),
+            au.gQfe_0)
+        gqfe.append(gq)
+        if au.has_si:
+            gs = jnp.full_like(fe, c.GQSI_0)
+            gs = jnp.where(
+                (fe < c.CKSI * au.kFe) & (fe > 0.0)
+                & (sio3 > c.CKSI * au.kSiO3),
+                jnp.minimum(
+                    c.GQSI_0 * c.CKSI * au.kFe
+                    / jnp.where(fe > 0.0, fe, 1.0), c.GQSI_MAX),
+                gs)
+            gs = jnp.where(fe == 0.0, c.GQSI_MAX, gs)
+            gs = jnp.where(
+                sio3 < c.CKSI * au.kSiO3,
+                jnp.maximum(gs * sio3 / (c.CKSI * au.kSiO3), c.GQSI_MIN),
+                gs)
+            gqsi.append(gs)
+        else:
+            gqsi.append(None)
+        if au.imp_calcifier or au.exp_calcifier:
+            qcaco3.append(jnp.minimum(a_caco3[g] / (a_c[g] + c.EPSC),
+                                      c.QCACO3_MAX))
+        else:
+            qcaco3.append(None)
+
+    # ---- PAR attenuation, whole column at once (BGC_mod.F90:907-924) --
+    total_chl = sum(a_chl)
+    par_in, par_out, par_avg, kpar_dz = _par_field(
+        par_surf, total_chl, dz, active)
+
+    # ---- saturation-depth search (BGC_mod.F90:1003-1032) ----
+    calc_anom = co3 - co3_sat_calc
+    arag_anom = co3 - co3_sat_arag
+    zsatcalc = _zsat_search(calc_anom, center, prev_center, bottom,
+                            active, grid.kmax)
+    zsatarag = _zsat_search(arag_anom, center, prev_center, bottom,
+                            active, grid.kmax)
+
+    # ---- temperature response (BGC_mod.F90:1041) ----
+    tfunc = c.Q_10 ** ((temp - c.TREF) / 10.0)
+
+    # ---- depth-tapered loss threshold (BGC_mod.F90:1047-1055) ----
+    f_loss_thres = jnp.where(
+        center > c.THRES_Z1,
+        jnp.where(center < c.THRES_Z2,
+                  (c.THRES_Z2 - center) / (c.THRES_Z2 - c.THRES_Z1),
+                  0.0),
+        1.0)
+
+    # ---- Pprime per autotroph (BGC_mod.F90:1072-1094) ----
+    pprime = []
+    for g, au in enumerate(autos):
+        thres = f_loss_thres * au.loss_thres
+        if au.temp_function == c.TFNC_QUASI_MMRT:
+            tmax = jnp.where(north, au.temp_thresN, au.temp_thresS)
+            thres = jnp.where(temp > tmax,
+                              f_loss_thres * au.loss_thres2, thres)
+        else:
+            thres = jnp.where(temp < au.temp_thres,
+                              f_loss_thres * au.loss_thres2, thres)
+        pprime.append(jnp.maximum(a_c[g] - thres, 0.0))
+
+    # ---- uptake, photosynthesis, grazing per autotroph
+    # (BGC_mod.F90:1107-1388) ----
+    vno3, vnh4, vntot = [], [], []
+    no3_v, nh4_v, po4_v, dop_v = [], [], [], []
+    photoC, photoFe, photoSi, photoacc = [], [], [], []
+    caco3_prod_g = [None] * nauto
+    auto_graze, auto_loss, auto_agg = [], [], []
+    graze_zoo, graze_poc, graze_doc, graze_dic = [], [], [], []
+    loss_poc_g, loss_doc_g, loss_dic_g = [], [], []
+    nfix, nexcrete = [None] * nauto, [None] * nauto
+    rem_p_dop, rem_p_dip = [None] * nauto, [None] * nauto
+    d_n_lim, d_fe_lim, d_p_lim, d_si_lim, d_light = [], [], [], [], []
+
+    for g, au in enumerate(autos):
+        vn3 = (no3 / au.kNO3) / (1.0 + no3 / au.kNO3 + nh4 / au.kNH4)
+        vn4 = (nh4 / au.kNH4) / (1.0 + no3 / au.kNO3 + nh4 / au.kNH4)
+        vnt = vn3 + vn4
+        if au.nfixer:
+            vnt = jnp.ones_like(vnt)
+        vno3.append(vn3)
+        vnh4.append(vn4)
+        vntot.append(vnt)
+        d_n_lim.append(vnt)
+
+        vfe = fe / (fe + au.kFe)
+        d_fe_lim.append(vfe)
+        f_nut = jnp.minimum(vnt, vfe)
+
+        vpo4 = (po4 / au.kPO4) / (1.0 + po4 / au.kPO4 + dop / au.kDOP)
+        vdop = (dop / au.kDOP) / (1.0 + po4 / au.kPO4 + dop / au.kDOP)
+        vptot = vpo4 + vdop
+        d_p_lim.append(vptot)
+        f_nut = jnp.minimum(f_nut, vptot)
+
+        if au.has_si:
+            vsio3 = sio3 / (sio3 + au.kSiO3)
+            d_si_lim.append(vsio3)
+            f_nut = jnp.minimum(f_nut, vsio3)
+        else:
+            d_si_lim.append(jnp.zeros_like(f_nut))
+
+        # photosynthesis rate (BGC_mod.F90:1146-1177)
+        pcmax = au.PCref * f_nut * tfunc
+        pcmax = jnp.where(temp < au.temp_thres, 0.0, pcmax)
+        if au.temp_function == c.TFNC_QUASI_MMRT:
+            topt = jnp.where(north, au.temp_optN, au.temp_optS)
+            tmax = jnp.where(north, au.temp_thresN, au.temp_thresS)
+            pcmax = pcmax * jnp.minimum(1.0,
+                                        (tmax - temp) / (tmax - topt))
+            pcmax = jnp.where(temp > tmax, 0.0, pcmax)
+
+        light_lim = 1.0 - jnp.exp(
+            (-1.0 * au.alphaPI * thetaC[g] * par_avg)
+            / (pcmax + c.EPSTINV))
+        pcphoto = pcmax * light_lim
+        d_light.append(light_lim)
+        pc = pcphoto * a_c[g]
+        photoC.append(pc)
+
+        # N/P uptake partition (BGC_mod.F90:1193-1221)
+        has_n = vnt > 0.0
+        no3_v.append(jnp.where(has_n, _safe_div(vn3, vnt) * pc * c.Q,
+                               0.0))
+        nh4_v.append(jnp.where(has_n, _safe_div(vn4, vnt) * pc * c.Q,
+                               0.0))
+        vnc = jnp.where(has_n, pcphoto * c.Q, 0.0)
+
+        has_p = vptot > 0.0
+        po4_v.append(jnp.where(has_p,
+                               _safe_div(vpo4, vptot) * pc * au.Qp, 0.0))
+        dop_v.append(jnp.where(has_p,
+                               _safe_div(vdop, vptot) * pc * au.Qp, 0.0))
+
+        photoFe.append(pc * gqfe[g])
+        photoSi.append(pc * gqsi[g] if au.has_si else None)
+
+        # photoadaptation (BGC_mod.F90:1240-1246)
+        work1 = au.alphaPI * thetaC[g] * par_avg
+        pchl = au.thetaN_max * _safe_div(pcphoto, work1)
+        photoacc.append(jnp.where(
+            work1 > 0.0,
+            pchl * vnc / jnp.where(thetaC[g] != 0.0, thetaC[g], 1.0)
+            * a_chl[g],
+            0.0))
+
+        # CaCO3 production (BGC_mod.F90:1255-1278)
+        if au.imp_calcifier:
+            cap = params.parm_f_prod_sp_CaCO3 * pc * f_nut
+            cap = jnp.where(
+                temp < c.CACO3_TEMP_THRES1,
+                cap * jnp.maximum(temp - c.CACO3_TEMP_THRES2, 0.0)
+                / (c.CACO3_TEMP_THRES1 - c.CACO3_TEMP_THRES2),
+                cap)
+            cap = jnp.where(
+                a_c[g] > c.CACO3_SP_THRES,
+                jnp.minimum(cap * a_c[g] / c.CACO3_SP_THRES,
+                            c.F_PHOTOSP_CACO3 * pc),
+                cap)
+            caco3_prod_g[g] = cap
+
+        # losses (BGC_mod.F90:1285-1290)
+        auto_loss.append(au.mort * pprime[g] * tfunc)
+        agg = jnp.minimum((au.agg_rate_max * c.DPS) * pprime[g],
+                          au.mort2 * pprime[g] * pprime[g])
+        agg = jnp.maximum((au.agg_rate_min * c.DPS) * pprime[g], agg)
+        auto_agg.append(agg)
+
+    # grazing needs the full Pprime set (shared grazee classes,
+    # BGC_mod.F90:1297-1324)
+    for g, au in enumerate(autos):
+        grazee_sum = sum(pprime[g2] for g2, au2 in enumerate(autos)
+                         if au2.grazee_ind == au.grazee_ind)
+        z_umax = au.z_umax_0 * tfunc
+        if g == 1:   # diatoms: phaeo-linked grazing relief
+            reliefN = jnp.maximum(
+                (au.temp_thresN - temp) / (au.temp_thresN - au.temp_optN),
+                0.95)
+            reliefS = jnp.maximum(
+                (au.temp_thresS - temp) / (au.temp_thresS - au.temp_optS),
+                0.95)
+            z_umax = jnp.where(
+                north & (temp > au.temp_optN), z_umax * reliefN,
+                jnp.where((lat <= 0.0) & (temp > au.temp_optS),
+                          z_umax * reliefS, z_umax))
+        graze = jnp.where(
+            grazee_sum > 0.0,
+            _safe_div(pprime[g], grazee_sum) * z_umax * zooC
+            * grazee_sum / (grazee_sum + au.z_grz),
+            0.0)
+        auto_graze.append(graze)
+
+        # N fixation (BGC_mod.F90:1331-1338)
+        if au.nfixer:
+            wn = photoC[g] * c.Q
+            nf = wn * c.R_NFIX_PHOTO - no3_v[g] - nh4_v[g]
+            nfix[g] = nf
+            nexcrete[g] = nf + no3_v[g] + nh4_v[g] - wn
+
+        # grazing / loss routing (BGC_mod.F90:1354-1372)
+        gz = au.graze_zoo * graze
+        if au.imp_calcifier:
+            gp = graze * jnp.maximum(
+                c.CACO3_POC_MIN * qcaco3[g],
+                jnp.minimum(c.SPC_POC_FAC
+                            * jnp.maximum(1.0, pprime[g]),
+                            c.F_GRAZE_SP_POC_LIM))
+        else:
+            gp = au.graze_poc * graze
+        gd = au.graze_doc * graze
+        graze_zoo.append(gz)
+        graze_poc.append(gp)
+        graze_doc.append(gd)
+        graze_dic.append(graze - (gz + gp + gd))
+
+        if au.imp_calcifier:
+            lp = qcaco3[g] * auto_loss[g]
+        else:
+            lp = au.loss_poc * auto_loss[g]
+        loss_poc_g.append(lp)
+        loss_doc_g.append((1.0 - params.parm_labile_ratio)
+                          * (auto_loss[g] - lp))
+        loss_dic_g.append(params.parm_labile_ratio
+                          * (auto_loss[g] - lp))
+
+        # non-Redfield P routing (BGC_mod.F90:1380-1386); the Qp
+        # comparison is static (trait value vs fixed constant)
+        if au.Qp != c.QP_ZOO_POM:
+            rem_p = ((graze + auto_loss[g] + auto_agg[g]) * au.Qp
+                     - graze_zoo[g] * c.QP_ZOO_POM
+                     - (graze_poc[g] + loss_poc_g[g] + auto_agg[g])
+                     * c.QP_ZOO_POM)
+            rem_p_dop[g] = (1.0 - params.parm_labile_ratio) * rem_p
+            rem_p_dip[g] = params.parm_labile_ratio * rem_p
+
+    # ---- zooplankton (BGC_mod.F90:1395-1415) ----
+    w1 = sum(au.f_zoo_detr * (auto_graze[g] + c.EPSC * c.EPSTINV)
+             for g, au in enumerate(autos))
+    w2 = sum(auto_graze[g] + c.EPSC * c.EPSTINV for g in range(nauto))
+    f_zoo_detr = w1 / w2
+
+    zprime = jnp.maximum(zooC - f_loss_thres * c.LOSS_THRES_ZOO, 0.0)
+    zoo_loss = (params.parm_z_mort2_0 * zprime ** 1.5
+                + params.parm_z_mort_0 * zprime) * tfunc
+    zoo_loss_doc = ((1.0 - params.parm_labile_ratio)
+                    * (1.0 - f_zoo_detr) * zoo_loss)
+    zoo_loss_dic = (params.parm_labile_ratio
+                    * (1.0 - f_zoo_detr) * zoo_loss)
+
+    # ---- DOM production & remineralization (BGC_mod.F90:1421-1461) --
+    doc_prod = zoo_loss_doc + sum(loss_doc_g) + sum(graze_doc)
+    don_prod = c.Q * doc_prod
+    dop_prod = c.QP_ZOO_POM * zoo_loss_doc
+    for g, au in enumerate(autos):
+        if au.Qp == c.QP_ZOO_POM:
+            dop_prod = dop_prod + au.Qp * (loss_doc_g[g] + graze_doc[g])
+        else:
+            dop_prod = dop_prod + rem_p_dop[g]
+    dofe_prod = c.QFE_ZOO * zoo_loss_doc
+    for g in range(nauto):
+        dofe_prod = dofe_prod + qfe[g] * (loss_doc_g[g] + graze_doc[g])
+
+    lit = par_avg > 1.0    # euphotic-zone photochemistry switch
+    doc_remin = doc * c.DOC_REMINR * jnp.where(lit, 1.0,
+                                               c.DOC_REMIN_DARK_FAC)
+    don_remin = don * c.DON_REMINR * jnp.where(lit, 1.0,
+                                               c.DON_REMIN_DARK_FAC)
+    dofe_remin = dofe * c.DOFE_REMINR * jnp.where(lit, 1.0,
+                                                  c.DOFE_REMIN_DARK_FAC)
+    dop_remin = dop * c.DOP_REMINR * jnp.where(lit, 1.0,
+                                               c.DOP_REMIN_DARK_FAC)
+    donr_remin = donr * jnp.where(lit, c.DONR_REMINR,
+                                  c.DONR_REMINR_DARK)
+    dopr_remin = dopr * jnp.where(lit, c.DOPR_REMINR,
+                                  c.DOPR_REMINR_DARK)
+
+    # ---- particulate production (BGC_mod.F90:1467-1529) ----
+    poc_prod = (f_zoo_detr * zoo_loss + sum(graze_poc)
+                + sum(auto_agg) + sum(loss_poc_g))
+    caco3_prod = jnp.zeros_like(poc_prod)
+    sio2_prod = jnp.zeros_like(poc_prod)
+    for g, au in enumerate(autos):
+        if au.imp_calcifier or au.exp_calcifier:
+            caco3_prod = ((1.0 - c.F_GRAZE_CACO3_REMIN) * auto_graze[g]
+                          + auto_loss[g] + auto_agg[g]) * qcaco3[g]
+        if au.has_si:
+            sio2_prod = qsi[g] * (
+                (1.0 - c.F_GRAZE_SI_REMIN) * auto_graze[g]
+                + auto_agg[g] + au.loss_poc * auto_loss[g])
+
+    # iron production *except* scavenging, which scales with the sinking
+    # mass flux entering each level (BGC_mod.F90:1510-1522) and is
+    # therefore evaluated inside the sinking scan below
+    fe_prod_base = zoo_loss * f_zoo_detr * c.QFE_ZOO
+    for g in range(nauto):
+        fe_prod_base = fe_prod_base + qfe[g] * (auto_agg[g] + graze_poc[g]
+                                                + loss_poc_g[g])
+
+    # ------------------------------------------------------------------
+    # Sinking-particle recurrence — the ONLY remaining sequential level
+    # coupling (its clamped QA-ballast carry is nonlinear).  The scan
+    # body is just the particulate flux algebra + Fe scavenging; all
+    # ecosystem kinetics stay batched outside.
+    # ------------------------------------------------------------------
+    particle0 = init_particle_carry(dust_flux_in)
+
+    scan_xs = dict(
+        poc_prod=poc_prod, caco3_prod=caco3_prod, sio2_prod=sio2_prod,
+        fe_prod_base=fe_prod_base, fe=fe, temp=temp, o2=o2, no3=no3,
+        dz=dz, bottom=bottom, fesedflux=forcing.fesedflux,
+        is_bottom=is_bottom, active=active,
     )
 
-    def level_step(carry, x):
-        (par_out_prev, particles, zsatcalc, zsatarag,
-         co3_calc_anom_km1, co3_arag_anom_km1) = carry
-
-        k = x["k"]
-        active = x["active"]
-        is_bottom = x["is_bottom"]
-        temp = x["temp"]
-        salt = x["salt"]
-        dz = x["thick"]
-        center = x["center"]
-        bottom = x["bottom"]
-
-        tr = x["trc"]                     # (30, ncol)
-        dic = tr[T.DIC]
-        alk = tr[T.ALK]
-        po4 = tr[T.PO4]
-        no3 = tr[T.NO3]
-        sio3 = tr[T.SIO3]
-        nh4 = tr[T.NH4]
-        fe = tr[T.FE]
-        o2 = tr[T.O2]
-        doc = tr[T.DOC]
-        zooC = tr[T.ZOOC]
-        don = tr[T.DON]
-        dofe = tr[T.DOFE]
-        dop = tr[T.DOP]
-        dopr = tr[T.DOPR]
-        donr = tr[T.DONR]
-
-        # ---- zero-mask coupled phyto pools (BGC_mod.F90:826-844) ----
-        a_chl, a_c, a_fe, a_si, a_caco3 = [], [], [], [], []
-        for g, au in enumerate(autos):
-            chl_g = tr[T.CHL_IND[g]]
-            c_g = tr[T.C_IND[g]]
-            fe_g = tr[T.FE_IND[g]]
-            si_g = tr[T.SI_IND[g]] if T.SI_IND[g] is not None else None
-            ca_g = (tr[T.CACO3_IND[g]]
-                    if T.CACO3_IND[g] is not None else None)
-            zero_mask = (chl_g == 0.0) | (c_g == 0.0) | (fe_g == 0.0)
-            if si_g is not None:
-                zero_mask = zero_mask | (si_g == 0.0)
-            keep = ~zero_mask
-            a_chl.append(jnp.where(keep, chl_g, 0.0))
-            a_c.append(jnp.where(keep, c_g, 0.0))
-            a_fe.append(jnp.where(keep, fe_g, 0.0))
-            a_si.append(jnp.where(keep, si_g, 0.0) if si_g is not None
-                        else None)
-            a_caco3.append(jnp.where(keep, ca_g, 0.0) if ca_g is not None
-                           else None)
-
-        # ---- quota ratios (BGC_mod.F90:850-898) ----
-        thetaC, qfe, qsi, qcaco3, gqfe, gqsi = [], [], [], [], [], []
-        for g, au in enumerate(autos):
-            thetaC.append(a_chl[g] / (a_c[g] + c.EPSC))
-            qfe.append(a_fe[g] / (a_c[g] + c.EPSC))
-            qsi.append(jnp.minimum(a_si[g] / (a_c[g] + c.EPSC), c.GQSI_MAX)
-                       if au.has_si else None)
-            # growth Fe quota, reduced under low ambient Fe
-            gq = jnp.where(
-                fe < c.CKS * au.kFe,
-                jnp.maximum(au.gQfe_0 * fe / (c.CKS * au.kFe), au.gQfe_min),
-                au.gQfe_0)
-            gqfe.append(gq)
-            if au.has_si:
-                gs = jnp.full_like(fe, c.GQSI_0)
-                gs = jnp.where(
-                    (fe < c.CKSI * au.kFe) & (fe > 0.0)
-                    & (sio3 > c.CKSI * au.kSiO3),
-                    jnp.minimum(
-                        c.GQSI_0 * c.CKSI * au.kFe
-                        / jnp.where(fe > 0.0, fe, 1.0), c.GQSI_MAX),
-                    gs)
-                gs = jnp.where(fe == 0.0, c.GQSI_MAX, gs)
-                gs = jnp.where(
-                    sio3 < c.CKSI * au.kSiO3,
-                    jnp.maximum(gs * sio3 / (c.CKSI * au.kSiO3), c.GQSI_MIN),
-                    gs)
-                gqsi.append(gs)
-            else:
-                gqsi.append(None)
-            if au.imp_calcifier or au.exp_calcifier:
-                qcaco3.append(jnp.minimum(a_caco3[g] / (a_c[g] + c.EPSC),
-                                          c.QCACO3_MAX))
-            else:
-                qcaco3.append(None)
-
-        # ---- PAR attenuation (BGC_mod.F90:907-924) ----
-        total_chl = sum(a_chl)
-        par_in = par_out_prev
-        par_out, par_avg, kpar_dz = par_through_cell(par_in, total_chl, dz)
-
-        # ---- carbonate chemistry, two CO2 scenarios: solved for all
-        # levels at once before the scan (see hoist above,
-        # BGC_mod.F90:935-1001) ----
-        ph_3d, h2co3, hco3, co3 = (x["ph_3d"], x["h2co3"], x["hco3"],
-                                   x["co3"])
-        ph_3d_alt, h2co3_alt, hco3_alt, co3_alt = (
-            x["ph_3d_alt"], x["h2co3_alt"], x["hco3_alt"], x["co3_alt"])
-        co3_sat_calc, co3_sat_arag = x["co3_sat_calc"], x["co3_sat_arag"]
-        ph_new = jnp.where(active, ph_3d, x["ph_prev"])
-        ph_alt_new = jnp.where(active, ph_3d_alt, x["ph_prev_alt"])
-
-        # ---- saturation-depth search (BGC_mod.F90:1003-1032) ----
-        # carry state: -1 = "supersaturated so far", else found depth
-        calc_anom = co3 - co3_sat_calc
-        arag_anom = co3 - co3_sat_arag
-        # reference: work4 = depth(k-1) + (depth(k) - depth(k-1))
-        interp_depth = x["prev_center"] + (center - x["prev_center"])
-
-        def _zsat_update(zsat, anom, anom_km1):
-            at_surface = k == 0
-            init = jnp.where(anom > 0.0, -1.0, 0.0)
-            crossed = (zsat == -1.0) & (anom <= 0.0)
-            den = anom_km1 - anom
-            interp = (interp_depth * anom_km1
-                      / jnp.where(den != 0.0, den, 1.0))
-            zs = jnp.where(crossed, interp, zsat)
-            # column ends still supersaturated -> bottom depth
-            zs = jnp.where((zs == -1.0) & is_bottom, bottom, zs)
-            zs = jnp.where(at_surface, init, zs)
-            return jnp.where(active, zs, zsat)
-
-        zsatcalc = _zsat_update(zsatcalc, calc_anom, co3_calc_anom_km1)
-        zsatarag = _zsat_update(zsatarag, arag_anom, co3_arag_anom_km1)
-        co3_calc_anom = jnp.where(active, calc_anom, co3_calc_anom_km1)
-        co3_arag_anom = jnp.where(active, arag_anom, co3_arag_anom_km1)
-
-        # ---- temperature response (BGC_mod.F90:1041) ----
-        tfunc = c.Q_10 ** ((temp - c.TREF) / 10.0)
-
-        # ---- depth-tapered loss threshold (BGC_mod.F90:1047-1055) ----
-        f_loss_thres = jnp.where(
-            center > c.THRES_Z1,
-            jnp.where(center < c.THRES_Z2,
-                      (c.THRES_Z2 - center) / (c.THRES_Z2 - c.THRES_Z1),
-                      0.0),
-            1.0)
-
-        # ---- Pprime per autotroph (BGC_mod.F90:1072-1094) ----
-        pprime = []
-        for g, au in enumerate(autos):
-            thres = f_loss_thres * au.loss_thres
-            if au.temp_function == c.TFNC_QUASI_MMRT:
-                tmax = jnp.where(north, au.temp_thresN, au.temp_thresS)
-                thres = jnp.where(temp > tmax,
-                                  f_loss_thres * au.loss_thres2, thres)
-            else:
-                thres = jnp.where(temp < au.temp_thres,
-                                  f_loss_thres * au.loss_thres2, thres)
-            pprime.append(jnp.maximum(a_c[g] - thres, 0.0))
-
-        # ---- uptake, photosynthesis, grazing per autotroph
-        # (BGC_mod.F90:1107-1388) ----
-        vno3, vnh4, vntot = [], [], []
-        no3_v, nh4_v, po4_v, dop_v = [], [], [], []
-        photoC, photoFe, photoSi, photoacc = [], [], [], []
-        caco3_prod_g = [None] * nauto
-        auto_graze, auto_loss, auto_agg = [], [], []
-        graze_zoo, graze_poc, graze_doc, graze_dic = [], [], [], []
-        loss_poc_g, loss_doc_g, loss_dic_g = [], [], []
-        nfix, nexcrete = [None] * nauto, [None] * nauto
-        rem_p_dop, rem_p_dip = [None] * nauto, [None] * nauto
-        d_n_lim, d_fe_lim, d_p_lim, d_si_lim, d_light = [], [], [], [], []
-
-        for g, au in enumerate(autos):
-            vn3 = (no3 / au.kNO3) / (1.0 + no3 / au.kNO3 + nh4 / au.kNH4)
-            vn4 = (nh4 / au.kNH4) / (1.0 + no3 / au.kNO3 + nh4 / au.kNH4)
-            vnt = vn3 + vn4
-            if au.nfixer:
-                vnt = jnp.ones_like(vnt)
-            vno3.append(vn3)
-            vnh4.append(vn4)
-            vntot.append(vnt)
-            d_n_lim.append(vnt)
-
-            vfe = fe / (fe + au.kFe)
-            d_fe_lim.append(vfe)
-            f_nut = jnp.minimum(vnt, vfe)
-
-            vpo4 = (po4 / au.kPO4) / (1.0 + po4 / au.kPO4 + dop / au.kDOP)
-            vdop = (dop / au.kDOP) / (1.0 + po4 / au.kPO4 + dop / au.kDOP)
-            vptot = vpo4 + vdop
-            d_p_lim.append(vptot)
-            f_nut = jnp.minimum(f_nut, vptot)
-
-            if au.has_si:
-                vsio3 = sio3 / (sio3 + au.kSiO3)
-                d_si_lim.append(vsio3)
-                f_nut = jnp.minimum(f_nut, vsio3)
-            else:
-                d_si_lim.append(jnp.zeros_like(f_nut))
-
-            # photosynthesis rate (BGC_mod.F90:1146-1177)
-            pcmax = au.PCref * f_nut * tfunc
-            pcmax = jnp.where(temp < au.temp_thres, 0.0, pcmax)
-            if au.temp_function == c.TFNC_QUASI_MMRT:
-                topt = jnp.where(north, au.temp_optN, au.temp_optS)
-                tmax = jnp.where(north, au.temp_thresN, au.temp_thresS)
-                pcmax = pcmax * jnp.minimum(1.0,
-                                            (tmax - temp) / (tmax - topt))
-                pcmax = jnp.where(temp > tmax, 0.0, pcmax)
-
-            light_lim = 1.0 - jnp.exp(
-                (-1.0 * au.alphaPI * thetaC[g] * par_avg)
-                / (pcmax + c.EPSTINV))
-            pcphoto = pcmax * light_lim
-            d_light.append(light_lim)
-            pc = pcphoto * a_c[g]
-            photoC.append(pc)
-
-            # N/P uptake partition (BGC_mod.F90:1193-1221)
-            has_n = vnt > 0.0
-            no3_v.append(jnp.where(has_n, _safe_div(vn3, vnt) * pc * c.Q,
-                                   0.0))
-            nh4_v.append(jnp.where(has_n, _safe_div(vn4, vnt) * pc * c.Q,
-                                   0.0))
-            vnc = jnp.where(has_n, pcphoto * c.Q, 0.0)
-
-            has_p = vptot > 0.0
-            po4_v.append(jnp.where(has_p,
-                                   _safe_div(vpo4, vptot) * pc * au.Qp, 0.0))
-            dop_v.append(jnp.where(has_p,
-                                   _safe_div(vdop, vptot) * pc * au.Qp, 0.0))
-
-            photoFe.append(pc * gqfe[g])
-            photoSi.append(pc * gqsi[g] if au.has_si else None)
-
-            # photoadaptation (BGC_mod.F90:1240-1246)
-            work1 = au.alphaPI * thetaC[g] * par_avg
-            pchl = au.thetaN_max * _safe_div(pcphoto, work1)
-            photoacc.append(jnp.where(
-                work1 > 0.0,
-                pchl * vnc / jnp.where(thetaC[g] != 0.0, thetaC[g], 1.0)
-                * a_chl[g],
-                0.0))
-
-            # CaCO3 production (BGC_mod.F90:1255-1278)
-            if au.imp_calcifier:
-                cap = params.parm_f_prod_sp_CaCO3 * pc * f_nut
-                cap = jnp.where(
-                    temp < c.CACO3_TEMP_THRES1,
-                    cap * jnp.maximum(temp - c.CACO3_TEMP_THRES2, 0.0)
-                    / (c.CACO3_TEMP_THRES1 - c.CACO3_TEMP_THRES2),
-                    cap)
-                cap = jnp.where(
-                    a_c[g] > c.CACO3_SP_THRES,
-                    jnp.minimum(cap * a_c[g] / c.CACO3_SP_THRES,
-                                c.F_PHOTOSP_CACO3 * pc),
-                    cap)
-                caco3_prod_g[g] = cap
-
-            # losses (BGC_mod.F90:1285-1290)
-            auto_loss.append(au.mort * pprime[g] * tfunc)
-            agg = jnp.minimum((au.agg_rate_max * c.DPS) * pprime[g],
-                              au.mort2 * pprime[g] * pprime[g])
-            agg = jnp.maximum((au.agg_rate_min * c.DPS) * pprime[g], agg)
-            auto_agg.append(agg)
-
-        # grazing needs the full Pprime set (shared grazee classes,
-        # BGC_mod.F90:1297-1324)
-        for g, au in enumerate(autos):
-            grazee_sum = sum(pprime[g2] for g2, au2 in enumerate(autos)
-                             if au2.grazee_ind == au.grazee_ind)
-            z_umax = au.z_umax_0 * tfunc
-            if g == 1:   # diatoms: phaeo-linked grazing relief
-                reliefN = jnp.maximum(
-                    (au.temp_thresN - temp) / (au.temp_thresN - au.temp_optN),
-                    0.95)
-                reliefS = jnp.maximum(
-                    (au.temp_thresS - temp) / (au.temp_thresS - au.temp_optS),
-                    0.95)
-                z_umax = jnp.where(
-                    north & (temp > au.temp_optN), z_umax * reliefN,
-                    jnp.where((lat <= 0.0) & (temp > au.temp_optS),
-                              z_umax * reliefS, z_umax))
-            graze = jnp.where(
-                grazee_sum > 0.0,
-                _safe_div(pprime[g], grazee_sum) * z_umax * zooC
-                * grazee_sum / (grazee_sum + au.z_grz),
-                0.0)
-            auto_graze.append(graze)
-
-            # N fixation (BGC_mod.F90:1331-1338)
-            if au.nfixer:
-                wn = photoC[g] * c.Q
-                nf = wn * c.R_NFIX_PHOTO - no3_v[g] - nh4_v[g]
-                nfix[g] = nf
-                nexcrete[g] = nf + no3_v[g] + nh4_v[g] - wn
-
-            # grazing / loss routing (BGC_mod.F90:1354-1372)
-            gz = au.graze_zoo * graze
-            if au.imp_calcifier:
-                gp = graze * jnp.maximum(
-                    c.CACO3_POC_MIN * qcaco3[g],
-                    jnp.minimum(c.SPC_POC_FAC
-                                * jnp.maximum(1.0, pprime[g]),
-                                c.F_GRAZE_SP_POC_LIM))
-            else:
-                gp = au.graze_poc * graze
-            gd = au.graze_doc * graze
-            graze_zoo.append(gz)
-            graze_poc.append(gp)
-            graze_doc.append(gd)
-            graze_dic.append(graze - (gz + gp + gd))
-
-            if au.imp_calcifier:
-                lp = qcaco3[g] * auto_loss[g]
-            else:
-                lp = au.loss_poc * auto_loss[g]
-            loss_poc_g.append(lp)
-            loss_doc_g.append((1.0 - params.parm_labile_ratio)
-                              * (auto_loss[g] - lp))
-            loss_dic_g.append(params.parm_labile_ratio
-                              * (auto_loss[g] - lp))
-
-            # non-Redfield P routing (BGC_mod.F90:1380-1386); the Qp
-            # comparison is static (trait value vs fixed constant)
-            if au.Qp != c.QP_ZOO_POM:
-                rem_p = ((graze + auto_loss[g] + auto_agg[g]) * au.Qp
-                         - graze_zoo[g] * c.QP_ZOO_POM
-                         - (graze_poc[g] + loss_poc_g[g] + auto_agg[g])
-                         * c.QP_ZOO_POM)
-                rem_p_dop[g] = (1.0 - params.parm_labile_ratio) * rem_p
-                rem_p_dip[g] = params.parm_labile_ratio * rem_p
-
-        # ---- zooplankton (BGC_mod.F90:1395-1415) ----
-        w1 = sum(au.f_zoo_detr * (auto_graze[g] + c.EPSC * c.EPSTINV)
-                 for g, au in enumerate(autos))
-        w2 = sum(auto_graze[g] + c.EPSC * c.EPSTINV for g in range(nauto))
-        f_zoo_detr = w1 / w2
-
-        zprime = jnp.maximum(zooC - f_loss_thres * c.LOSS_THRES_ZOO, 0.0)
-        zoo_loss = (params.parm_z_mort2_0 * zprime ** 1.5
-                    + params.parm_z_mort_0 * zprime) * tfunc
-        zoo_loss_doc = ((1.0 - params.parm_labile_ratio)
-                        * (1.0 - f_zoo_detr) * zoo_loss)
-        zoo_loss_dic = (params.parm_labile_ratio
-                        * (1.0 - f_zoo_detr) * zoo_loss)
-
-        # ---- DOM production & remineralization (BGC_mod.F90:1421-1461) --
-        doc_prod = zoo_loss_doc + sum(loss_doc_g) + sum(graze_doc)
-        don_prod = c.Q * doc_prod
-        dop_prod = c.QP_ZOO_POM * zoo_loss_doc
-        for g, au in enumerate(autos):
-            if au.Qp == c.QP_ZOO_POM:
-                dop_prod = dop_prod + au.Qp * (loss_doc_g[g] + graze_doc[g])
-            else:
-                dop_prod = dop_prod + rem_p_dop[g]
-        dofe_prod = c.QFE_ZOO * zoo_loss_doc
-        for g in range(nauto):
-            dofe_prod = dofe_prod + qfe[g] * (loss_doc_g[g] + graze_doc[g])
-
-        lit = par_avg > 1.0    # euphotic-zone photochemistry switch
-        doc_remin = doc * c.DOC_REMINR * jnp.where(lit, 1.0,
-                                                   c.DOC_REMIN_DARK_FAC)
-        don_remin = don * c.DON_REMINR * jnp.where(lit, 1.0,
-                                                   c.DON_REMIN_DARK_FAC)
-        dofe_remin = dofe * c.DOFE_REMINR * jnp.where(lit, 1.0,
-                                                      c.DOFE_REMIN_DARK_FAC)
-        dop_remin = dop * c.DOP_REMINR * jnp.where(lit, 1.0,
-                                                   c.DOP_REMIN_DARK_FAC)
-        donr_remin = donr * jnp.where(lit, c.DONR_REMINR,
-                                      c.DONR_REMINR_DARK)
-        dopr_remin = dopr * jnp.where(lit, c.DOPR_REMINR,
-                                      c.DOPR_REMINR_DARK)
-
-        # ---- particulate production (BGC_mod.F90:1467-1529) ----
-        poc_prod = (f_zoo_detr * zoo_loss + sum(graze_poc)
-                    + sum(auto_agg) + sum(loss_poc_g))
-        caco3_prod = jnp.zeros_like(poc_prod)
-        sio2_prod = jnp.zeros_like(poc_prod)
-        for g, au in enumerate(autos):
-            if au.imp_calcifier or au.exp_calcifier:
-                caco3_prod = ((1.0 - c.F_GRAZE_CACO3_REMIN) * auto_graze[g]
-                              + auto_loss[g] + auto_agg[g]) * qcaco3[g]
-            if au.has_si:
-                sio2_prod = qsi[g] * (
-                    (1.0 - c.F_GRAZE_SI_REMIN) * auto_graze[g]
-                    + auto_agg[g] + au.loss_poc * auto_loss[g])
-
+    def particle_step(carry, x):
         # iron scavenging scales with the sinking mass flux *entering*
         # this level, i.e. the carry (BGC_mod.F90:1510-1522)
+        fe_k = x["fe"]
         fe_scavenge_rate = params.parm_fe_scavenge_rate0 * (
-            (particles.poc_s + particles.poc_h) * 120.1
-            + (particles.caco3_s + particles.caco3_h) * c.P_CACO3_MASS
-            + (particles.sio2_s + particles.sio2_h) * c.P_SIO2_MASS
-            + (particles.dust_s + particles.dust_h) * c.DUST_FESCAV_SCALE)
+            (carry.poc_s + carry.poc_h) * 120.1
+            + (carry.caco3_s + carry.caco3_h) * c.P_CACO3_MASS
+            + (carry.sio2_s + carry.sio2_h) * c.P_SIO2_MASS
+            + (carry.dust_s + carry.dust_h) * c.DUST_FESCAV_SCALE)
         fe_scavenge_rate = jnp.where(
-            fe > c.FE_SCAVENGE_THRES1,
-            fe_scavenge_rate + (fe - c.FE_SCAVENGE_THRES1) * c.FE_MAX_SCALE2,
+            fe_k > c.FE_SCAVENGE_THRES1,
+            fe_scavenge_rate
+            + (fe_k - c.FE_SCAVENGE_THRES1) * c.FE_MAX_SCALE2,
             fe_scavenge_rate)
-        fe_scavenge = c.YPS * fe * fe_scavenge_rate
+        fe_scavenge = c.YPS * fe_k * fe_scavenge_rate
+        fe_prod = x["fe_prod_base"] + fe_scavenge
 
-        fe_prod = zoo_loss * f_zoo_detr * c.QFE_ZOO + fe_scavenge
-        for g in range(nauto):
-            fe_prod = fe_prod + qfe[g] * (auto_agg[g] + graze_poc[g]
-                                          + loss_poc_g[g])
+        new_carry, pt = particulate_level_update(
+            carry, x["poc_prod"], x["caco3_prod"], x["sio2_prod"],
+            fe_prod, x["temp"], x["o2"], x["no3"], x["dz"], x["bottom"],
+            x["fesedflux"], x["is_bottom"], x["active"], params)
+        return new_carry, (pt, fe_scavenge, fe_scavenge_rate, carry)
 
-        # ---- sinking-particle recurrence ----
-        particles_new, pt = particulate_level_update(
-            particles, poc_prod, caco3_prod, sio2_prod, fe_prod,
-            temp, o2, no3, dz, bottom, x["fesedflux"],
-            is_bottom, active, params)
+    _, (pt, fe_scavenge, fe_scavenge_rate,
+        particles_in) = jax.lax.scan(particle_step, particle0, scan_xs,
+                                     unroll=_LEVEL_SCAN_UNROLL)
+    # pt fields, fe_scavenge and the per-level incoming carry are now
+    # stacked (nlev, ncol) arrays; everything below is batched again.
 
-        # ---- nitrate & ammonium (BGC_mod.F90:1545-1592) ----
-        if params.lrest_no3:
-            restore_no3 = x["rtau"] * (x["no3_clim"] - no3)
+    fe_prod = fe_prod_base + fe_scavenge
+
+    # ---- nitrate & ammonium (BGC_mod.F90:1545-1592) ----
+    if params.lrest_no3:
+        restore_no3 = forcing.nutr_restore_rtau * (forcing.no3_clim - no3)
+    else:
+        restore_no3 = jnp.zeros_like(no3)
+
+    nitrif = params.parm_kappa_nitrif * nh4
+    par_out_safe = jnp.maximum(par_out, 1e-300)
+    taper = (jnp.log(par_out_safe / params.parm_nitrif_par_lim)
+             / (-kpar_dz))
+    nitrif = jnp.where(par_in > params.parm_nitrif_par_lim,
+                       nitrif * taper, nitrif)
+    nitrif = jnp.where(par_out < params.parm_nitrif_par_lim,
+                       nitrif, 0.0)
+
+    denitrif_fac = jnp.clip(
+        ((params.parm_o2_min + params.parm_o2_min_delta) - o2)
+        / params.parm_o2_min_delta, 0.0, 1.0)
+    denitrif_fac = jnp.where(no3 == 0.0, 0.0, denitrif_fac)
+    denitrif = denitrif_fac * (
+        (doc_remin + pt.poc_remin - pt.other_remin) / c.DENITRIF_C_N
+        - pt.sed_denitrif)
+
+    tend = [None] * T.CNT
+    tend[T.NO3] = (restore_no3 + nitrif - denitrif - pt.sed_denitrif
+                   - sum(no3_v))
+    tend[T.NH4] = (-sum(nh4_v) - nitrif + don_remin + donr_remin
+                   + c.Q * (zoo_loss_dic + sum(loss_dic_g)
+                            + sum(graze_dic)
+                            + pt.poc_remin * (1.0 - c.DONREFRACT)))
+    for g, au in enumerate(autos):
+        if au.nfixer:
+            tend[T.NH4] = tend[T.NH4] + nexcrete[g]
+
+    # ---- dissolved iron (BGC_mod.F90:1598-1605) ----
+    tend[T.FE] = (pt.fe_remin + c.QFE_ZOO * zoo_loss_dic + dofe_remin
+                  - sum(photoFe) - fe_scavenge)
+    for g in range(nauto):
+        tend[T.FE] = (tend[T.FE]
+                      + qfe[g] * (loss_dic_g[g] + graze_dic[g])
+                      + graze_zoo[g] * (qfe[g] - c.QFE_ZOO))
+
+    # ---- dissolved SiO3 (BGC_mod.F90:1611-1628) ----
+    if params.lrest_sio3:
+        restore_sio3 = forcing.nutr_restore_rtau * (forcing.sio3_clim
+                                                    - sio3)
+    else:
+        restore_sio3 = jnp.zeros_like(sio3)
+    tend[T.SIO3] = restore_sio3 + pt.sio2_remin
+    for g, au in enumerate(autos):
+        if au.has_si:
+            tend[T.SIO3] = (tend[T.SIO3] - photoSi[g]
+                            + qsi[g] * (c.F_GRAZE_SI_REMIN
+                                        * auto_graze[g]
+                                        + (1.0 - au.loss_poc)
+                                        * auto_loss[g]))
+
+    # ---- phosphate (BGC_mod.F90:1634-1661) ----
+    if params.lrest_po4:
+        restore_po4 = forcing.nutr_restore_rtau * (forcing.po4_clim - po4)
+    else:
+        restore_po4 = jnp.zeros_like(po4)
+    tend[T.PO4] = (restore_po4 + dop_remin + dopr_remin - sum(po4_v)
+                   + c.QP_ZOO_POM * ((1.0 - c.DOPREFRACT) * pt.poc_remin
+                                     + zoo_loss_dic))
+    for g, au in enumerate(autos):
+        if au.Qp == c.QP_ZOO_POM:
+            tend[T.PO4] = tend[T.PO4] + au.Qp * (loss_dic_g[g]
+                                                 + graze_dic[g])
         else:
-            restore_no3 = jnp.zeros_like(no3)
+            tend[T.PO4] = tend[T.PO4] + rem_p_dip[g]
 
-        nitrif = params.parm_kappa_nitrif * nh4
-        par_out_safe = jnp.maximum(par_out, 1e-300)
-        taper = (jnp.log(par_out_safe / params.parm_nitrif_par_lim)
-                 / (-kpar_dz))
-        nitrif = jnp.where(par_in > params.parm_nitrif_par_lim,
-                           nitrif * taper, nitrif)
-        nitrif = jnp.where(par_out < params.parm_nitrif_par_lim,
-                           nitrif, 0.0)
+    # ---- autotroph pools (BGC_mod.F90:1676-1697) ----
+    for g, au in enumerate(autos):
+        wloss = auto_graze[g] + auto_loss[g] + auto_agg[g]
+        tend[T.C_IND[g]] = photoC[g] - wloss
+        tend[T.CHL_IND[g]] = photoacc[g] - thetaC[g] * wloss
+        tend[T.FE_IND[g]] = photoFe[g] - qfe[g] * wloss
+        if T.SI_IND[g] is not None:
+            tend[T.SI_IND[g]] = photoSi[g] - qsi[g] * wloss
+        if T.CACO3_IND[g] is not None:
+            tend[T.CACO3_IND[g]] = (caco3_prod_g[g]
+                                    - qcaco3[g] * wloss)
 
-        denitrif_fac = jnp.clip(
-            ((params.parm_o2_min + params.parm_o2_min_delta) - o2)
-            / params.parm_o2_min_delta, 0.0, 1.0)
-        denitrif_fac = jnp.where(no3 == 0.0, 0.0, denitrif_fac)
-        denitrif = denitrif_fac * (
-            (doc_remin + pt.poc_remin - pt.other_remin) / c.DENITRIF_C_N
-            - pt.sed_denitrif)
+    # ---- zooC & DOM pools (BGC_mod.F90:1703-1723) ----
+    tend[T.ZOOC] = sum(graze_zoo) - zoo_loss
+    tend[T.DOC] = doc_prod - doc_remin
+    tend[T.DON] = don_prod * (1.0 - c.DONREFRACT) - don_remin
+    tend[T.DONR] = (don_prod * c.DONREFRACT - donr_remin
+                    + pt.poc_remin * c.DONREFRACT * c.Q)
+    tend[T.DOP] = (dop_prod * (1.0 - c.DOPREFRACT) - dop_remin
+                   - sum(dop_v))
+    tend[T.DOPR] = (dop_prod * c.DOPREFRACT - dopr_remin
+                    + pt.poc_remin * c.DOPREFRACT * c.QP_ZOO_POM)
+    tend[T.DOFE] = dofe_prod - dofe_remin
 
-        tend = [None] * T.CNT
-        tend[T.NO3] = (restore_no3 + nitrif - denitrif - pt.sed_denitrif
-                       - sum(no3_v))
-        tend[T.NH4] = (-sum(nh4_v) - nitrif + don_remin + donr_remin
-                       + c.Q * (zoo_loss_dic + sum(loss_dic_g)
-                                + sum(graze_dic)
-                                + pt.poc_remin * (1.0 - c.DONREFRACT)))
-        for g, au in enumerate(autos):
-            if au.nfixer:
-                tend[T.NH4] = tend[T.NH4] + nexcrete[g]
+    # ---- DIC (BGC_mod.F90:1729-1745) ----
+    tend[T.DIC] = (sum(loss_dic_g) + sum(graze_dic) - sum(photoC)
+                   + doc_remin + pt.poc_remin + zoo_loss_dic
+                   + pt.caco3_remin)
+    for g, au in enumerate(autos):
+        if T.CACO3_IND[g] is not None:
+            tend[T.DIC] = (tend[T.DIC]
+                           + c.F_GRAZE_CACO3_REMIN * auto_graze[g]
+                           * qcaco3[g] - caco3_prod_g[g])
+    if params.alt_co2_use_eco:
+        tend[T.DIC_ALT_CO2] = tend[T.DIC]
+    else:
+        tend[T.DIC_ALT_CO2] = jnp.zeros_like(tend[T.DIC])
 
-        # ---- dissolved iron (BGC_mod.F90:1598-1605) ----
-        tend[T.FE] = (pt.fe_remin + c.QFE_ZOO * zoo_loss_dic + dofe_remin
-                      - sum(photoFe) - fe_scavenge)
-        for g in range(nauto):
-            tend[T.FE] = (tend[T.FE]
-                          + qfe[g] * (loss_dic_g[g] + graze_dic[g])
-                          + graze_zoo[g] * (qfe[g] - c.QFE_ZOO))
+    # ---- alkalinity (BGC_mod.F90:1751-1759) ----
+    tend[T.ALK] = (-tend[T.NO3] + tend[T.NH4]
+                   + 2.0 * pt.caco3_remin)
+    for g, au in enumerate(autos):
+        if T.CACO3_IND[g] is not None:
+            tend[T.ALK] = (tend[T.ALK]
+                           + 2.0 * (c.F_GRAZE_CACO3_REMIN
+                                    * auto_graze[g] * qcaco3[g]
+                                    - caco3_prod_g[g]))
 
-        # ---- dissolved SiO3 (BGC_mod.F90:1611-1628) ----
-        if params.lrest_sio3:
-            restore_sio3 = x["rtau"] * (x["sio3_clim"] - sio3)
+    # ---- oxygen (BGC_mod.F90:1765-1790) ----
+    o2_production = jnp.zeros_like(o2)
+    for g, au in enumerate(autos):
+        if not au.nfixer:
+            denom = no3_v[g] + nh4_v[g]
+            contrib = photoC[g] * (
+                _safe_div(no3_v[g], denom) / c.PARM_RED_D_C_O2
+                + _safe_div(nh4_v[g], denom) / c.PARM_REMIN_D_C_O2)
         else:
-            restore_sio3 = jnp.zeros_like(sio3)
-        tend[T.SIO3] = restore_sio3 + pt.sio2_remin
-        for g, au in enumerate(autos):
-            if au.has_si:
-                tend[T.SIO3] = (tend[T.SIO3] - photoSi[g]
-                                + qsi[g] * (c.F_GRAZE_SI_REMIN
-                                            * auto_graze[g]
-                                            + (1.0 - au.loss_poc)
-                                            * auto_loss[g]))
+            denom = no3_v[g] + nh4_v[g] + nfix[g]
+            contrib = photoC[g] * (
+                _safe_div(no3_v[g], denom) / c.PARM_RED_D_C_O2
+                + _safe_div(nh4_v[g], denom) / c.PARM_REMIN_D_C_O2
+                + _safe_div(nfix[g], denom) / c.PARM_RED_D_C_O2_DIAZ)
+        o2_production = o2_production + jnp.where(photoC[g] > 0.0,
+                                                  contrib, 0.0)
 
-        # ---- phosphate (BGC_mod.F90:1634-1661) ----
-        if params.lrest_po4:
-            restore_po4 = x["rtau"] * (x["po4_clim"] - po4)
-        else:
-            restore_po4 = jnp.zeros_like(po4)
-        tend[T.PO4] = (restore_po4 + dop_remin + dopr_remin - sum(po4_v)
-                       + c.QP_ZOO_POM * ((1.0 - c.DOPREFRACT) * pt.poc_remin
-                                         + zoo_loss_dic))
-        for g, au in enumerate(autos):
-            if au.Qp == c.QP_ZOO_POM:
-                tend[T.PO4] = tend[T.PO4] + au.Qp * (loss_dic_g[g]
-                                                     + graze_dic[g])
-            else:
-                tend[T.PO4] = tend[T.PO4] + rem_p_dip[g]
+    o2_fac = jnp.clip((o2 - params.parm_o2_min)
+                      / params.parm_o2_min_delta, 0.0, 1.0)
+    o2_consumption = o2_fac * (
+        (pt.poc_remin + doc_remin
+         - pt.sed_denitrif * c.DENITRIF_C_N - pt.other_remin
+         + zoo_loss_dic + sum(loss_dic_g) + sum(graze_dic))
+        / c.PARM_REMIN_D_C_O2 + 2.0 * nitrif)
+    tend[T.O2] = o2_production - o2_consumption
 
-        # ---- autotroph pools (BGC_mod.F90:1676-1697) ----
-        for g, au in enumerate(autos):
-            wloss = auto_graze[g] + auto_loss[g] + auto_agg[g]
-            tend[T.C_IND[g]] = photoC[g] - wloss
-            tend[T.CHL_IND[g]] = photoacc[g] - thetaC[g] * wloss
-            tend[T.FE_IND[g]] = photoFe[g] - qfe[g] * wloss
-            if T.SI_IND[g] is not None:
-                tend[T.SI_IND[g]] = photoSi[g] - qsi[g] * wloss
-            if T.CACO3_IND[g] is not None:
-                tend[T.CACO3_IND[g]] = (caco3_prod_g[g]
-                                        - qcaco3[g] * wloss)
+    # mask all tendencies to active cells; tracer axis in the middle
+    tend = [jnp.where(active, t, 0.0) for t in tend]
+    tend_arr = jnp.stack(tend, axis=1)               # (nlev, 30, ncol)
 
-        # ---- zooC & DOM pools (BGC_mod.F90:1703-1723) ----
-        tend[T.ZOOC] = sum(graze_zoo) - zoo_loss
-        tend[T.DOC] = doc_prod - doc_remin
-        tend[T.DON] = don_prod * (1.0 - c.DONREFRACT) - don_remin
-        tend[T.DONR] = (don_prod * c.DONREFRACT - donr_remin
-                        + pt.poc_remin * c.DONREFRACT * c.Q)
-        tend[T.DOP] = (dop_prod * (1.0 - c.DOPREFRACT) - dop_remin
-                       - sum(dop_v))
-        tend[T.DOPR] = (dop_prod * c.DOPREFRACT - dopr_remin
-                        + pt.poc_remin * c.DOPREFRACT * c.QP_ZOO_POM)
-        tend[T.DOFE] = dofe_prod - dofe_remin
-
-        # ---- DIC (BGC_mod.F90:1729-1745) ----
-        tend[T.DIC] = (sum(loss_dic_g) + sum(graze_dic) - sum(photoC)
-                       + doc_remin + pt.poc_remin + zoo_loss_dic
-                       + pt.caco3_remin)
-        for g, au in enumerate(autos):
-            if T.CACO3_IND[g] is not None:
-                tend[T.DIC] = (tend[T.DIC]
-                               + c.F_GRAZE_CACO3_REMIN * auto_graze[g]
-                               * qcaco3[g] - caco3_prod_g[g])
-        if params.alt_co2_use_eco:
-            tend[T.DIC_ALT_CO2] = tend[T.DIC]
-        else:
-            tend[T.DIC_ALT_CO2] = jnp.zeros_like(tend[T.DIC])
-
-        # ---- alkalinity (BGC_mod.F90:1751-1759) ----
-        tend[T.ALK] = (-tend[T.NO3] + tend[T.NH4]
-                       + 2.0 * pt.caco3_remin)
-        for g, au in enumerate(autos):
-            if T.CACO3_IND[g] is not None:
-                tend[T.ALK] = (tend[T.ALK]
-                               + 2.0 * (c.F_GRAZE_CACO3_REMIN
-                                        * auto_graze[g] * qcaco3[g]
-                                        - caco3_prod_g[g]))
-
-        # ---- oxygen (BGC_mod.F90:1765-1790) ----
-        o2_production = jnp.zeros_like(o2)
-        for g, au in enumerate(autos):
-            if not au.nfixer:
-                denom = no3_v[g] + nh4_v[g]
-                contrib = photoC[g] * (
-                    _safe_div(no3_v[g], denom) / c.PARM_RED_D_C_O2
-                    + _safe_div(nh4_v[g], denom) / c.PARM_REMIN_D_C_O2)
-            else:
-                denom = no3_v[g] + nh4_v[g] + nfix[g]
-                contrib = photoC[g] * (
-                    _safe_div(no3_v[g], denom) / c.PARM_RED_D_C_O2
-                    + _safe_div(nh4_v[g], denom) / c.PARM_REMIN_D_C_O2
-                    + _safe_div(nfix[g], denom) / c.PARM_RED_D_C_O2_DIAZ)
-            o2_production = o2_production + jnp.where(photoC[g] > 0.0,
-                                                      contrib, 0.0)
-
-        o2_fac = jnp.clip((o2 - params.parm_o2_min)
-                          / params.parm_o2_min_delta, 0.0, 1.0)
-        o2_consumption = o2_fac * (
-            (pt.poc_remin + doc_remin
-             - pt.sed_denitrif * c.DENITRIF_C_N - pt.other_remin
-             + zoo_loss_dic + sum(loss_dic_g) + sum(graze_dic))
-            / c.PARM_REMIN_D_C_O2 + 2.0 * nitrif)
-        tend[T.O2] = o2_production - o2_consumption
-
-        # mask all tendencies to active cells
-        tend = [jnp.where(active, t, 0.0) for t in tend]
-        tend_arr = jnp.stack(tend, axis=0)
-
-        # ---- diagnostics & conservation integrals
-        # (BGC_mod.F90:1794-1945) ----
-        ys_diags = {}
-        jint = {}
-        if compute_diags:
-            def _m(v):
-                return jnp.where(active, v, 0.0)
-
-            ztop = x["prev_bottom"]
-            w2 = jnp.minimum(100.0e2 - ztop, dz)
-            partial_100m = jnp.where(w2 > 0.0, w2, 0.0)
-
-            ys_diags.update({
-                "CO3": _m(co3), "HCO3": _m(hco3), "H2CO3": _m(h2co3),
-                "pH_3D": _m(ph_3d),
-                "CO3_ALT_CO2": _m(co3_alt), "HCO3_ALT_CO2": _m(hco3_alt),
-                "H2CO3_ALT_CO2": _m(h2co3_alt),
-                "pH_3D_ALT_CO2": _m(ph_3d_alt),
-                "co3_sat_calc": _m(co3_sat_calc),
-                "co3_sat_arag": _m(co3_sat_arag),
-                "NO3_RESTORE": _m(restore_no3),
-                "SiO3_RESTORE": _m(restore_sio3),
-                "PO4_RESTORE": _m(restore_po4),
-                "NITRIF": _m(nitrif), "DENITRIF": _m(denitrif),
-                "O2_PRODUCTION": _m(o2_production),
-                "O2_CONSUMPTION": _m(o2_consumption),
-                "AOU": _m(o2sat(temp, salt) - o2),
-                "PAR_avg": _m(par_avg),
-                "zoo_loss": _m(zoo_loss),
-                "auto_graze_TOT": _m(sum(auto_graze)),
-                "photoC_TOT": _m(sum(photoC)),
-                "DOC_prod": _m(doc_prod), "DOC_remin": _m(doc_remin),
-                "DON_prod": _m(don_prod), "DON_remin": _m(don_remin),
-                "DOP_prod": _m(dop_prod), "DOP_remin": _m(dop_remin),
-                "DOFe_prod": _m(dofe_prod), "DOFe_remin": _m(dofe_remin),
-                "DONr_remin": _m(donr_remin), "DOPr_remin": _m(dopr_remin),
-                "Fe_scavenge": _m(fe_scavenge),
-                "Fe_scavenge_rate": _m(fe_scavenge_rate),
-                "tot_CaCO3_form": _m(sum(
-                    cp for cp in caco3_prod_g if cp is not None)),
-                "tot_Nfix": _m(sum(nf for nf in nfix if nf is not None)),
-            })
-            ys_diags.update(particulate_diags(
-                particles, pt, poc_prod, caco3_prod, sio2_prod, fe_prod,
-                dz, active))
-
-            # per-autotroph 3D diagnostics, stacked (nauto, ncol)
-            def _stack(vals):
-                return jnp.stack([_m(v) if v is not None
-                                  else jnp.zeros_like(active, dtype=dz.dtype)
-                                  for v in vals], axis=0)
-
-            ys_diags["N_lim"] = _stack(d_n_lim)
-            ys_diags["Fe_lim"] = _stack(d_fe_lim)
-            ys_diags["P_lim"] = _stack(d_p_lim)
-            ys_diags["SiO3_lim"] = _stack(d_si_lim)
-            ys_diags["light_lim"] = _stack(d_light)
-            ys_diags["photoC"] = _stack(photoC)
-            ys_diags["photoFe"] = _stack(photoFe)
-            ys_diags["photoNO3"] = _stack(no3_v)
-            ys_diags["photoNH4"] = _stack(nh4_v)
-            ys_diags["PO4_uptake"] = _stack(po4_v)
-            ys_diags["DOP_uptake"] = _stack(dop_v)
-            ys_diags["auto_graze"] = _stack(auto_graze)
-            ys_diags["auto_loss"] = _stack(auto_loss)
-            ys_diags["auto_agg"] = _stack(auto_agg)
-            ys_diags["bSi_form"] = _stack(photoSi)
-            ys_diags["CaCO3_form"] = _stack(caco3_prod_g)
-            ys_diags["Nfix"] = _stack(nfix)
-            photoc_no3 = [jnp.where(vntot[g] > 0.0,
-                                    _safe_div(vno3[g], vntot[g]) * photoC[g],
-                                    0.0) for g in range(nauto)]
-            ys_diags["photoC_NO3"] = _stack(photoc_no3)
-            ys_diags["photoC_NO3_TOT"] = _m(sum(photoc_no3))
-
-            # conservation integrals (BGC_mod.F90:1870-1945)
-            ctot = (tend[T.DIC] + tend[T.DOC] + tend[T.ZOOC]
-                    + sum(tend[T.C_IND[g]] for g in range(nauto))
-                    + sum(tend[T.CACO3_IND[g]] for g in range(nauto)
-                          if T.CACO3_IND[g] is not None))
-            ntot = (tend[T.NO3] + tend[T.NH4] + tend[T.DON] + tend[T.DONR]
-                    + c.Q * tend[T.ZOOC]
-                    + c.Q * sum(tend[T.C_IND[g]] for g in range(nauto))
-                    + denitrif + pt.sed_denitrif
-                    - sum(nfix[g] for g, au in enumerate(autos)
-                          if au.nfixer))
-            ptot = (tend[T.PO4] + tend[T.DOP] + tend[T.DOPR]
-                    + c.QP_ZOO_POM * tend[T.ZOOC]
-                    + sum(au.Qp * tend[T.C_IND[g]]
-                          for g, au in enumerate(autos)))
-            sitot = (tend[T.SIO3]
-                     + sum(tend[T.SI_IND[g]] for g in range(nauto)
-                           if T.SI_IND[g] is not None))
-            in100 = bottom <= 100.0e2
-            sed_c = pt.poc_sed_loss + pt.caco3_sed_loss
-            jint = {
-                "Jint_Ctot": _m(ctot * dz + sed_c),
-                "Jint_100m_Ctot": _m(ctot * partial_100m
-                                     + jnp.where(in100, sed_c, 0.0)),
-                "Jint_Ntot": _m(ntot * dz + pt.poc_sed_loss * c.Q),
-                "Jint_100m_Ntot": _m(ntot * partial_100m
-                                     + jnp.where(in100,
-                                                 pt.poc_sed_loss * c.Q,
-                                                 0.0)),
-                "Jint_Ptot": _m(ptot * dz
-                                + pt.poc_sed_loss * c.QP_ZOO_POM),
-                "Jint_100m_Ptot": _m(ptot * partial_100m
-                                     + jnp.where(
-                                         in100,
-                                         pt.poc_sed_loss * c.QP_ZOO_POM,
-                                         0.0)),
-                "Jint_Sitot": _m(sitot * dz + pt.sio2_sed_loss),
-                "Jint_100m_Sitot": _m(sitot * partial_100m
-                                      + jnp.where(in100, pt.sio2_sed_loss,
-                                                  0.0)),
-                "Chl_TOT_zint_100m": _m(sum(a_chl) * partial_100m),
-                "photoC_zint": _stack([pc * dz for pc in photoC]),
-                "photoC_NO3_zint": _stack([pn * dz for pn in photoc_no3]),
-                "CaCO3_form_zint": _stack(
-                    [cp * dz if cp is not None else None
-                     for cp in caco3_prod_g]),
-                "tot_bSi_form": _m(sum(ps for ps in photoSi
-                                       if ps is not None)),
-            }
-
-        # freeze PAR carry below the column bottom
-        par_out_carry = jnp.where(active, par_out, par_out_prev)
-
-        new_carry = (par_out_carry, particles_new, zsatcalc, zsatarag,
-                     co3_calc_anom, co3_arag_anom)
-        ys = (tend_arr, ph_new, ph_alt_new, ys_diags, jint)
-        return new_carry, ys
-
-    # derive the zero carries from a varying array so the scan carry keeps
-    # a consistent sharding under shard_map
-    zsat0 = jnp.zeros_like(par_surf)
-    carry0 = (par_surf, particle0, zsat0, zsat0,
-              jnp.zeros_like(par_surf), jnp.zeros_like(par_surf))
-    final_carry, (tend_all, ph_new_all, ph_alt_all, diags_lvl,
-                  jint_lvl) = jax.lax.scan(level_step, carry0, xs,
-                                           unroll=_LEVEL_SCAN_UNROLL)
-
+    # ---- diagnostics & conservation integrals
+    # (BGC_mod.F90:1794-1945) ----
     diags: Dict[str, jax.Array] = {}
     if compute_diags:
-        diags.update(diags_lvl)   # (nlev, ...) stacked by scan
-        # column reductions of the per-level contributions
-        for name in ("Jint_Ctot", "Jint_100m_Ctot", "Jint_Ntot",
-                     "Jint_100m_Ntot", "Jint_Ptot", "Jint_100m_Ptot",
-                     "Jint_Sitot", "Jint_100m_Sitot", "Chl_TOT_zint_100m",
-                     "tot_bSi_form"):
-            diags[name] = jnp.sum(jint_lvl[name], axis=0)
-        diags["photoC_zint"] = jnp.sum(jint_lvl["photoC_zint"], axis=0)
-        diags["photoC_NO3_zint"] = jnp.sum(jint_lvl["photoC_NO3_zint"],
-                                           axis=0)
-        diags["CaCO3_form_zint"] = jnp.sum(jint_lvl["CaCO3_form_zint"],
-                                           axis=0)
+        def _m(v):
+            return jnp.where(active, v, 0.0)
+
+        ztop = prev_bottom
+        w2 = jnp.minimum(100.0e2 - ztop, dz)
+        partial_100m = jnp.where(w2 > 0.0, w2, 0.0)
+
+        diags.update({
+            "CO3": _m(co3), "HCO3": _m(hco3), "H2CO3": _m(h2co3),
+            "pH_3D": _m(ph_3d),
+            "CO3_ALT_CO2": _m(co3_alt), "HCO3_ALT_CO2": _m(hco3_alt),
+            "H2CO3_ALT_CO2": _m(h2co3_alt),
+            "pH_3D_ALT_CO2": _m(ph_3d_alt),
+            "co3_sat_calc": _m(co3_sat_calc),
+            "co3_sat_arag": _m(co3_sat_arag),
+            "NO3_RESTORE": _m(restore_no3),
+            "SiO3_RESTORE": _m(restore_sio3),
+            "PO4_RESTORE": _m(restore_po4),
+            "NITRIF": _m(nitrif), "DENITRIF": _m(denitrif),
+            "O2_PRODUCTION": _m(o2_production),
+            "O2_CONSUMPTION": _m(o2_consumption),
+            "AOU": _m(o2sat(temp, salt) - o2),
+            "PAR_avg": _m(par_avg),
+            "zoo_loss": _m(zoo_loss),
+            "auto_graze_TOT": _m(sum(auto_graze)),
+            "photoC_TOT": _m(sum(photoC)),
+            "DOC_prod": _m(doc_prod), "DOC_remin": _m(doc_remin),
+            "DON_prod": _m(don_prod), "DON_remin": _m(don_remin),
+            "DOP_prod": _m(dop_prod), "DOP_remin": _m(dop_remin),
+            "DOFe_prod": _m(dofe_prod), "DOFe_remin": _m(dofe_remin),
+            "DONr_remin": _m(donr_remin), "DOPr_remin": _m(dopr_remin),
+            "Fe_scavenge": _m(fe_scavenge),
+            "Fe_scavenge_rate": _m(fe_scavenge_rate),
+            "tot_CaCO3_form": _m(sum(
+                cp for cp in caco3_prod_g if cp is not None)),
+            "tot_Nfix": _m(sum(nf for nf in nfix if nf is not None)),
+        })
+        diags.update(particulate_diags(
+            particles_in, pt, poc_prod, caco3_prod, sio2_prod, fe_prod,
+            dz, active))
+
+        # per-autotroph 3D diagnostics, stacked (nlev, nauto, ncol)
+        def _stack(vals):
+            return jnp.stack([_m(v) if v is not None
+                              else jnp.zeros_like(dz)
+                              for v in vals], axis=1)
+
+        diags["N_lim"] = _stack(d_n_lim)
+        diags["Fe_lim"] = _stack(d_fe_lim)
+        diags["P_lim"] = _stack(d_p_lim)
+        diags["SiO3_lim"] = _stack(d_si_lim)
+        diags["light_lim"] = _stack(d_light)
+        diags["photoC"] = _stack(photoC)
+        diags["photoFe"] = _stack(photoFe)
+        diags["photoNO3"] = _stack(no3_v)
+        diags["photoNH4"] = _stack(nh4_v)
+        diags["PO4_uptake"] = _stack(po4_v)
+        diags["DOP_uptake"] = _stack(dop_v)
+        diags["auto_graze"] = _stack(auto_graze)
+        diags["auto_loss"] = _stack(auto_loss)
+        diags["auto_agg"] = _stack(auto_agg)
+        diags["bSi_form"] = _stack(photoSi)
+        diags["CaCO3_form"] = _stack(caco3_prod_g)
+        diags["Nfix"] = _stack(nfix)
+        photoc_no3 = [jnp.where(vntot[g] > 0.0,
+                                _safe_div(vno3[g], vntot[g]) * photoC[g],
+                                0.0) for g in range(nauto)]
+        diags["photoC_NO3"] = _stack(photoc_no3)
+        diags["photoC_NO3_TOT"] = _m(sum(photoc_no3))
+
+        # conservation integrals (BGC_mod.F90:1870-1945)
+        ctot = (tend[T.DIC] + tend[T.DOC] + tend[T.ZOOC]
+                + sum(tend[T.C_IND[g]] for g in range(nauto))
+                + sum(tend[T.CACO3_IND[g]] for g in range(nauto)
+                      if T.CACO3_IND[g] is not None))
+        ntot = (tend[T.NO3] + tend[T.NH4] + tend[T.DON] + tend[T.DONR]
+                + c.Q * tend[T.ZOOC]
+                + c.Q * sum(tend[T.C_IND[g]] for g in range(nauto))
+                + denitrif + pt.sed_denitrif
+                - sum(nfix[g] for g, au in enumerate(autos)
+                      if au.nfixer))
+        ptot = (tend[T.PO4] + tend[T.DOP] + tend[T.DOPR]
+                + c.QP_ZOO_POM * tend[T.ZOOC]
+                + sum(au.Qp * tend[T.C_IND[g]]
+                      for g, au in enumerate(autos)))
+        sitot = (tend[T.SIO3]
+                 + sum(tend[T.SI_IND[g]] for g in range(nauto)
+                       if T.SI_IND[g] is not None))
+        in100 = bottom <= 100.0e2
+        sed_c = pt.poc_sed_loss + pt.caco3_sed_loss
+
+        def _zint(per_level):                  # sum over the level axis
+            return jnp.sum(per_level, axis=0)
+
+        diags["Jint_Ctot"] = _zint(_m(ctot * dz + sed_c))
+        diags["Jint_100m_Ctot"] = _zint(_m(
+            ctot * partial_100m + jnp.where(in100, sed_c, 0.0)))
+        diags["Jint_Ntot"] = _zint(_m(ntot * dz
+                                      + pt.poc_sed_loss * c.Q))
+        diags["Jint_100m_Ntot"] = _zint(_m(
+            ntot * partial_100m
+            + jnp.where(in100, pt.poc_sed_loss * c.Q, 0.0)))
+        diags["Jint_Ptot"] = _zint(_m(ptot * dz
+                                      + pt.poc_sed_loss * c.QP_ZOO_POM))
+        diags["Jint_100m_Ptot"] = _zint(_m(
+            ptot * partial_100m
+            + jnp.where(in100, pt.poc_sed_loss * c.QP_ZOO_POM, 0.0)))
+        diags["Jint_Sitot"] = _zint(_m(sitot * dz + pt.sio2_sed_loss))
+        diags["Jint_100m_Sitot"] = _zint(_m(
+            sitot * partial_100m
+            + jnp.where(in100, pt.sio2_sed_loss, 0.0)))
+        diags["Chl_TOT_zint_100m"] = _zint(_m(sum(a_chl) * partial_100m))
+        diags["tot_bSi_form"] = _zint(_m(sum(ps for ps in photoSi
+                                             if ps is not None)))
+        diags["photoC_zint"] = _zint(_stack([pc * dz for pc in photoC]))
+        diags["photoC_NO3_zint"] = _zint(_stack(
+            [pn * dz for pn in photoc_no3]))
+        diags["CaCO3_form_zint"] = _zint(_stack(
+            [cp * dz if cp is not None else None
+             for cp in caco3_prod_g]))
         diags["photoC_TOT_zint"] = jnp.sum(diags["photoC_zint"], axis=0)
         diags["photoC_NO3_TOT_zint"] = jnp.sum(diags["photoC_NO3_zint"],
                                                axis=0)
         diags["tot_CaCO3_form_zint"] = jnp.sum(diags["CaCO3_form_zint"],
                                                axis=0)
-        diags["zsatcalc"] = final_carry[2]
-        diags["zsatarag"] = final_carry[3]
+        diags["zsatcalc"] = zsatcalc
+        diags["zsatarag"] = zsatarag
 
         # O2 minimum search (BGC_mod.F90:1954-1968): first minimum wins
         o2_all = jnp.maximum(tracers[:, T.O2], 0.0)
-        o2_masked = jnp.where(active_all, o2_all, jnp.inf)
+        o2_masked = jnp.where(active, o2_all, jnp.inf)
         kmin = jnp.argmin(o2_masked, axis=0)
         col = jnp.arange(ncol)
         has_ocean = grid.kmax > 0
@@ -923,8 +933,8 @@ def bgc_source_sink(
             has_ocean, grid.cell_center_depth[kmin, col], 0.0)
 
     return BGCSourceSinkOut(
-        tendencies=tend_all,
-        ph_prev_3d=ph_new_all,
-        ph_prev_alt_3d=ph_alt_all,
+        tendencies=tend_arr,
+        ph_prev_3d=ph_new,
+        ph_prev_alt_3d=ph_alt_new,
         diags=diags,
     )

@@ -6,9 +6,15 @@ fractions, nitrogen- and sulfur-currency conversions, diagnosed bacteria,
 and first/second-order DMS & DMSP kinetics.
 
 Only the PAR (and UV) attenuation is vertically sequential
-(DMS_mod.F90:531-551); everything else is per-cell algebra.  The kernel is
-a single ``lax.scan`` over levels whose carry is (PAR_out, UV_out), with
-each scan step operating on (ncol,) lane vectors.
+(DMS_mod.F90:531-551) — and because each cell's absorption depends only
+on that cell's own chlorophyll (resp. DOC), the downward recurrence has
+the closed form PAR_in(k) = PAR_surf * prod_{j<k} exp(-KPARdz(j)): one
+cumulative product over the level axis.  The whole kernel is therefore
+fully batched over (nlev, ncol) cells with no scan at all; columns ride
+the vector lanes.  (The reference also computes a UV attenuation field,
+DMS_mod.F90:531-536, but never consumes it pending its CODiM update — it
+is omitted here, which is exactly what XLA's dead-code elimination would
+do to it anyway.)
 """
 
 from __future__ import annotations
@@ -18,8 +24,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ocean_bgc_tpu.constants import EPSC, F_QSW_PAR_DMS, UV_FRAC_OF_PAR
-from ocean_bgc_tpu.ops.par import par_through_cell, uv_through_cell
+from ocean_bgc_tpu.constants import EPSC, F_QSW_PAR_DMS
 from ocean_bgc_tpu.params import DMSParams
 from ocean_bgc_tpu.state import DMSTracers as DT
 
@@ -42,156 +47,158 @@ def dms_source_sink(
     shortwave_surface: jax.Array,  # (ncol,) W/m^2
     params: DMSParams,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Tendencies (nlev, DT.CNT, ncol) and the 27 column diagnostics
-    (DMS_parms.F90:125-154)."""
+    """Tendencies (nlev, DT.CNT, ncol) and the 27 diagnostics
+    (DMS_parms.F90:125-154), each a (nlev, ncol) field."""
 
     p = params
-    nlev, _, ncol = tracers.shape
 
     clip = jnp.maximum(tracers, 0.0)   # (DMS_mod.F90:471-485)
 
-    # surface initialization (DMS_mod.F90:504-510)
+    dms = clip[:, DT.DMS]
+    dmsp = clip[:, DT.DMSP]
+    doc = clip[:, DT.DOC]
+    zooC = clip[:, DT.ZOOC]
+    spC = clip[:, DT.SPC]
+    spCaCO3 = clip[:, DT.SPCACO3]
+    diatC = clip[:, DT.DIATC]
+    diazC = clip[:, DT.DIAZC]
+    phaeoC = clip[:, DT.PHAEOC]
+    spChl = clip[:, DT.SPCHL]
+    diatChl = clip[:, DT.DIATCHL]
+    diazChl = clip[:, DT.DIAZCHL]
+    phaeoChl = clip[:, DT.PHAEOCHL]
+
+    dz = cell_thickness
+    active = active_mask
+
+    # surface initialization (DMS_mod.F90:504-510) and the whole-column
+    # PAR attenuation (DMS_mod.F90:538-551) in closed form: exclusive
+    # cumulative product of the per-cell decay factors.  The reference's
+    # downward recurrence does NOT freeze below the ocean floor, so the
+    # cumulative product is unmasked — faithfully replicated.
     par_surf = jnp.maximum(shortwave_surface, 0.0) * F_QSW_PAR_DMS
-    uv_surf = par_surf * UV_FRAC_OF_PAR
 
-    def level_step(carry, per_level):
-        par_out_prev, uv_out_prev = carry
-        trc, dz, active = per_level
+    total_chl = spChl + diatChl + diazChl + phaeoChl
+    chl = jnp.maximum(total_chl, 0.02)
+    kpar = jnp.where(chl < 0.13224,
+                     0.000919 * chl ** 0.3536,
+                     0.001131 * chl ** 0.4562)
+    kpar_dz = kpar * dz
+    att = jnp.exp(-kpar_dz)
+    cum = jnp.cumprod(att, axis=0)
+    ones = jnp.ones_like(cum[:1])
+    par_in = par_surf[None, :] * jnp.concatenate([ones, cum[:-1]], axis=0)
+    par_avg = par_in * (1.0 - att) / kpar_dz
 
-        dms = trc[DT.DMS]
-        dmsp = trc[DT.DMSP]
-        doc = trc[DT.DOC]
-        zooC = trc[DT.ZOOC]
-        spC = trc[DT.SPC]
-        spCaCO3 = trc[DT.SPCACO3]
-        diatC = trc[DT.DIATC]
-        diazC = trc[DT.DIAZC]
-        phaeoC = trc[DT.PHAEOC]
-        spChl = trc[DT.SPCHL]
-        diatChl = trc[DT.DIATCHL]
-        diazChl = trc[DT.DIAZCHL]
-        phaeoChl = trc[DT.PHAEOCHL]
+    # zoo-modulated phyto S release constant (DMS_mod.F90:529);
+    # the reference hard-codes the 0.3 zooC normalization here
+    k_S_p = p.k_S_p_base * (p.mort + zooC / 0.3)
 
-        # zoo-modulated phyto S release constant (DMS_mod.F90:529);
-        # the reference hard-codes the 0.3 zooC normalization here
-        k_S_p = p.k_S_p_base * (p.mort + zooC / 0.3)
+    # photolysis scales with PAR (DMS_mod.F90:562)
+    j_dms = p.j_dms_perI * par_avg
 
-        # UV attenuation (computed by the reference but, pending the CODiM
-        # update, not yet consumed; DMS_mod.F90:531-536)
-        uv_out, uv_avg, _ = uv_through_cell(uv_out_prev, doc, dz)
+    # coccolithophore fraction from CaCO3 quota (DMS_mod.F90:570-573)
+    fcocco = jnp.minimum(spCaCO3 / (spC + EPSC), 0.4)
+    cocco_frac = fcocco
 
-        total_chl = spChl + diatChl + diazChl + phaeoChl
-        par_out, par_avg, _ = par_through_cell(par_out_prev, total_chl, dz)
+    # SST-interpolated cyanobacteria fraction (DMS_mod.F90:584-592)
+    t_ind = jnp.clip((sst - p.T_lo) / (p.T_hi - p.T_lo), 0.0, 1.0)
+    cyano_frac = (t_ind * (p.Max_cyano_frac - p.Min_cyano_frac)
+                  + p.Min_cyano_frac)
+    cyano_frac = (1.0 - cocco_frac) * cyano_frac
+    eukar_frac = 1.0 - cocco_frac - cyano_frac
 
-        # photolysis scales with PAR (DMS_mod.F90:562)
-        j_dms = p.j_dms_perI * par_avg
+    # nitrogen currency (DMS_mod.F90:598-604)
+    diatN = p.R * diatC
+    phaeoN = p.R * phaeoC
+    coccoN = cocco_frac * p.R * spC
+    cyanoN = cyano_frac * p.R * spC
+    eukarN = eukar_frac * p.R * spC
+    diazN = p.R * diazC
+    zooN = p.R * zooC
+    phytoN = diatN + coccoN + cyanoN + eukarN + diazN + phaeoN
 
-        # coccolithophore fraction from CaCO3 quota (DMS_mod.F90:570-573)
-        fcocco = jnp.minimum(spCaCO3 / (spC + EPSC), 0.4)
-        cocco_frac = fcocco
+    # oxidant-stress upregulation via chlorophyll decrement
+    # (DMS_mod.F90:621-628)
+    sp_dec = jnp.clip((p.Sp_ref - spChl) / p.Sp_ref, 0.0, 1.0)
+    stress_fac = jnp.minimum(1.0 + p.Stress_mult * sp_dec * sp_dec, 10.0)
 
-        # SST-interpolated cyanobacteria fraction (DMS_mod.F90:584-592)
-        t_ind = jnp.clip((sst - p.T_lo) / (p.T_hi - p.T_lo), 0.0, 1.0)
-        cyano_frac = (t_ind * (p.Max_cyano_frac - p.Min_cyano_frac)
-                      + p.Min_cyano_frac)
-        cyano_frac = (1.0 - cocco_frac) * cyano_frac
-        eukar_frac = 1.0 - cocco_frac - cyano_frac
+    # temperature-dependent bacterial yield with cryoprotection
+    # overrides (DMS_mod.F90:637-640)
+    yield_ = t_ind * (p.Max_yld - p.Min_yld) + p.Min_yld
+    yield_ = jnp.where((sst < p.T_cryo_hi) & (sst > p.T_cryo_lo),
+                       0.5, yield_)
+    yield_ = jnp.where(sst < -1.0, 0.25, yield_)
+    yield_ = jnp.broadcast_to(yield_, dms.shape)
 
-        # nitrogen currency (DMS_mod.F90:598-604)
-        diatN = p.R * diatC
-        phaeoN = p.R * phaeoC
-        coccoN = cocco_frac * p.R * spC
-        cyanoN = cyano_frac * p.R * spC
-        eukarN = eukar_frac * p.R * spC
-        diazN = p.R * diazC
-        zooN = p.R * zooC
-        phytoN = diatN + coccoN + cyanoN + eukarN + diazN + phaeoN
+    # per-class sulfur content (DMS_mod.F90:647-660)
+    diatS = p.Rs2n_diat * diatN
+    phaeoS = p.Rs2n_phaeo * phaeoN
+    coccoS = p.Rs2n_cocco * coccoN
+    cyanoS = p.Rs2n_cyano * cyanoN
+    eukarS = p.Rs2n_eukar * eukarN * stress_fac
+    diazS = p.Rs2n_diaz * diazN
+    phytoS = (diatS + coccoS + cyanoS + eukarS + diazS
+              + p.G_phaeo_S * phaeoS)
 
-        # oxidant-stress upregulation via chlorophyll decrement
-        # (DMS_mod.F90:621-628)
-        sp_dec = jnp.clip((p.Sp_ref - spChl) / p.Sp_ref, 0.0, 1.0)
-        stress_fac = jnp.minimum(1.0 + p.Stress_mult * sp_dec * sp_dec, 10.0)
+    # food-weighted zooplankton sulfur (DMS_mod.F90:671-684)
+    rs2n_zoo_weighted = (
+        p.Rs2n_diat * diatN
+        + p.G_phaeo_S * p.Rs2n_phaeo * phaeoN
+        + p.Rs2n_cocco * coccoN
+        + p.Rs2n_cyano * cyanoN
+        + p.Rs2n_eukar * eukarN * stress_fac
+        + p.Rs2n_diaz * diazN) / jnp.where(phytoN > 0.0, phytoN, 1.0)
+    rs2n_zoo_fallback = (p.Rs2n_diat + p.Rs2n_cocco + p.Rs2n_cyano
+                         + p.Rs2n_eukar + p.Rs2n_diaz
+                         + p.Rs2n_phaeo) / 6.0
+    rs2n_zoo = jnp.where(phytoN > 0.0, rs2n_zoo_weighted,
+                         rs2n_zoo_fallback)
+    zooS = rs2n_zoo * zooN
 
-        # temperature-dependent bacterial yield with cryoprotection
-        # overrides (DMS_mod.F90:637-640)
-        yield_ = t_ind * (p.Max_yld - p.Min_yld) + p.Min_yld
-        yield_ = jnp.where((sst < p.T_cryo_hi) & (sst > p.T_cryo_lo),
-                           0.5, yield_)
-        yield_ = jnp.where(sst < -1.0, 0.25, yield_)
+    # diagnosed bacteria (DMS_mod.F90:695)
+    b_diagnosed = p.B_preexp * phytoN ** p.B_exp
 
-        # per-class sulfur content (DMS_mod.F90:647-660)
-        diatS = p.Rs2n_diat * diatN
-        phaeoS = p.Rs2n_phaeo * phaeoN
-        coccoS = p.Rs2n_cocco * coccoN
-        cyanoS = p.Rs2n_cyano * cyanoN
-        eukarS = p.Rs2n_eukar * eukarN * stress_fac
-        diazS = p.Rs2n_diaz * diazN
-        phytoS = (diatS + coccoS + cyanoS + eukarS + diazS
-                  + p.G_phaeo_S * phaeoS)
+    # kinetic terms (DMS_mod.F90:701-716)
+    dms_s_dmsp = yield_ * p.k_conv * dmsp
+    dms_s = dms_s_dmsp
+    dms_r_B = p.k_S_B * b_diagnosed * dms
+    dms_r_phot = j_dms * dms
+    dms_r_bkgnd = p.k_bkgnd * dms
+    dms_r = dms_r_B + dms_r_phot + dms_r_bkgnd
 
-        # food-weighted zooplankton sulfur (DMS_mod.F90:671-684)
-        rs2n_zoo_weighted = (
-            p.Rs2n_diat * diatN
-            + p.G_phaeo_S * p.Rs2n_phaeo * phaeoN
-            + p.Rs2n_cocco * coccoN
-            + p.Rs2n_cyano * cyanoN
-            + p.Rs2n_eukar * eukarN * stress_fac
-            + p.Rs2n_diaz * diazN) / jnp.where(phytoN > 0.0, phytoN, 1.0)
-        rs2n_zoo_fallback = (p.Rs2n_diat + p.Rs2n_cocco + p.Rs2n_cyano
-                             + p.Rs2n_eukar + p.Rs2n_diaz
-                             + p.Rs2n_phaeo) / 6.0
-        rs2n_zoo = jnp.where(phytoN > 0.0, rs2n_zoo_weighted,
-                             rs2n_zoo_fallback)
-        zooS = rs2n_zoo * zooN
+    dmsp_s_phaeo = p.inject_scale * p.k_S_p_base * phaeoS
+    dmsp_s_nonphaeo = p.inject_scale * k_S_p * phytoS
+    dmsp_s_zoo = p.inject_scale * p.k_S_z * zooS
+    dmsp_s = dmsp_s_phaeo + dmsp_s_nonphaeo + dmsp_s_zoo
+    dmsp_r_B = p.k_conv * dmsp
+    dmsp_r_bkgnd = p.k_bkgnd * dmsp
+    dmsp_r = dmsp_r_B + dmsp_r_bkgnd
 
-        # diagnosed bacteria (DMS_mod.F90:695)
-        b_diagnosed = p.B_preexp * phytoN ** p.B_exp
+    def masked(x):
+        return jnp.where(active, x, 0.0)
 
-        # kinetic terms (DMS_mod.F90:701-716)
-        dms_s_dmsp = yield_ * p.k_conv * dmsp
-        dms_s = dms_s_dmsp
-        dms_r_B = p.k_S_B * b_diagnosed * dms
-        dms_r_phot = j_dms * dms
-        dms_r_bkgnd = p.k_bkgnd * dms
-        dms_r = dms_r_B + dms_r_phot + dms_r_bkgnd
+    tend_dms = masked(dms_s - dms_r)
+    tend_dmsp = masked(dmsp_s - dmsp_r)
 
-        dmsp_s_phaeo = p.inject_scale * p.k_S_p_base * phaeoS
-        dmsp_s_nonphaeo = p.inject_scale * k_S_p * phytoS
-        dmsp_s_zoo = p.inject_scale * p.k_S_z * zooS
-        dmsp_s = dmsp_s_phaeo + dmsp_s_nonphaeo + dmsp_s_zoo
-        dmsp_r_B = p.k_conv * dmsp
-        dmsp_r_bkgnd = p.k_bkgnd * dmsp
-        dmsp_r = dmsp_r_B + dmsp_r_bkgnd
-
-        def masked(x):
-            return jnp.where(active, x, 0.0)
-
-        tend_dms = masked(dms_s - dms_r)
-        tend_dmsp = masked(dmsp_s - dmsp_r)
-
-        diags = {
-            "DMS_S_DMSP": dms_s_dmsp, "DMS_S_TOTAL": dms_s,
-            "DMS_R_B": dms_r_B, "DMS_R_PHOT": dms_r_phot,
-            "DMS_R_BKGND": dms_r_bkgnd, "DMS_R_TOTAL": dms_r,
-            "DMSP_S_PHAEO": dmsp_s_phaeo,
-            "DMSP_S_NONPHAEO": dmsp_s_nonphaeo,
-            "DMSP_S_ZOO": dmsp_s_zoo, "DMSP_S_TOTAL": dmsp_s,
-            "DMSP_R_B": dmsp_r_B, "DMSP_R_BKGND": dmsp_r_bkgnd,
-            "DMSP_R_TOTAL": dmsp_r,
-            "Cyano_frac": cyano_frac, "Cocco_frac": cocco_frac,
-            "Eukar_frac": eukar_frac,
-            "diatS": diatS, "diatN": diatN, "phytoN": phytoN,
-            "coccoS": coccoS, "cyanoS": cyanoS, "eukarS": eukarS,
-            "diazS": diazS, "phaeoS": phaeoS, "zooS": zooS,
-            "zooCC": zooC, "RSNzoo": rs2n_zoo,
-        }
-        diags = {k: masked(v) for k, v in diags.items()}
-
-        return (par_out, uv_out), (tend_dms, tend_dmsp, diags)
-
-    (_, _), (tend_dms, tend_dmsp, diags) = jax.lax.scan(
-        level_step, (par_surf, uv_surf),
-        (clip, cell_thickness, active_mask))
+    diags = {
+        "DMS_S_DMSP": dms_s_dmsp, "DMS_S_TOTAL": dms_s,
+        "DMS_R_B": dms_r_B, "DMS_R_PHOT": dms_r_phot,
+        "DMS_R_BKGND": dms_r_bkgnd, "DMS_R_TOTAL": dms_r,
+        "DMSP_S_PHAEO": dmsp_s_phaeo,
+        "DMSP_S_NONPHAEO": dmsp_s_nonphaeo,
+        "DMSP_S_ZOO": dmsp_s_zoo, "DMSP_S_TOTAL": dmsp_s,
+        "DMSP_R_B": dmsp_r_B, "DMSP_R_BKGND": dmsp_r_bkgnd,
+        "DMSP_R_TOTAL": dmsp_r,
+        "Cyano_frac": jnp.broadcast_to(cyano_frac, dms.shape),
+        "Cocco_frac": cocco_frac,
+        "Eukar_frac": jnp.broadcast_to(eukar_frac, dms.shape),
+        "diatS": diatS, "diatN": diatN, "phytoN": phytoN,
+        "coccoS": coccoS, "cyanoS": cyanoS, "eukarS": eukarS,
+        "diazS": diazS, "phaeoS": phaeoS, "zooS": zooS,
+        "zooCC": zooC, "RSNzoo": rs2n_zoo,
+    }
+    diags = {k: masked(v) for k, v in diags.items()}
 
     zero = jnp.zeros_like(tend_dms)
     tend = [zero] * DT.CNT
