@@ -538,7 +538,10 @@ def bgc_source_sink(
     f_zoo_detr = w1 / w2
 
     zprime = jnp.maximum(zooC - f_loss_thres * c.LOSS_THRES_ZOO, 0.0)
-    zoo_loss = (params.parm_z_mort2_0 * zprime ** 1.5
+    # Zprime**1.5 (BGC_mod.F90:1397) as z*sqrt(z): sqrt is hardware-
+    # assisted on TPU while a half-integer pow lowers to exp/log, both
+    # software-emulated at f64; agrees to ulps
+    zoo_loss = (params.parm_z_mort2_0 * (zprime * jnp.sqrt(zprime))
                 + params.parm_z_mort_0 * zprime) * tfunc
     zoo_loss_doc = ((1.0 - params.parm_labile_ratio)
                     * (1.0 - f_zoo_detr) * zoo_loss)
