@@ -33,7 +33,12 @@ from ocean_bgc_tpu.constants import (
     XACC,
 )
 
+import os
+
 _LN10 = 2.302585092994045684   # ln(10)
+# measurement knob: stack the interior ambient+ALT_CO2 dual solve at f64
+# too (the production default keeps f64 sequential; see co3_terms_dual)
+_DUAL_STACK_F64 = os.environ.get("OBGC_DUAL_STACK_F64", "0") == "1"
 _LN_001 = -4.605170185988091368  # ln(1e-2)
 # python-float constants (not jnp scalars): safe to close over in Pallas
 _BRACKET_GROW_GUARD = 60   # geometric growth; reference loop is unbounded
@@ -493,7 +498,7 @@ def co3_terms_dual(depth_m, temp, salt, dic_in, ta_in, pt_in, sit_in,
                               k1_k2_ph_tot=True)
     dic, ta, pt, sit = _to_mass_units(dic_in, ta_in, pt_in, sit_in)
 
-    if dic.dtype == jnp.float32:
+    if dic.dtype == jnp.float32 or _DUAL_STACK_F64:
         # stack the two scenarios along a leading axis: ONE masked
         # while_loop covers both, so the trip count is max(a, b) instead
         # of a+b (per-lane freezing makes each lane's result independent
