@@ -343,6 +343,10 @@ def particulate_diags(carry_in: ParticleCarry, out: ParticleLevelOut,
         "POC_FLUX_IN": _m(carry_in.poc_s + carry_in.poc_h),
         "POC_PROD": _m(poc_prod),
         "POC_REMIN": out.poc_remin,
+        # declared but never assigned in the reference (BGC_parms.F90:206;
+        # no store anywhere in BGC_mod.F90), so the host always reads the
+        # zeros it was initialized with — emitted as zeros for name parity
+        "POC_ACCUM": jnp.zeros_like(out.poc_remin),
         "CaCO3_FLUX_IN": _m(carry_in.caco3_s + carry_in.caco3_h),
         "CaCO3_PROD": _m(caco3_prod),
         "CaCO3_REMIN": out.caco3_remin,

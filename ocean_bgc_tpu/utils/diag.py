@@ -77,6 +77,8 @@ BGC_DIAGS: Dict[str, DiagSpec] = {
     # particulates
     "POC_FLUX_IN": DiagSpec(_L, _FLUX, "POC flux into cell"),
     "POC_PROD": DiagSpec(_L, _RATE, "POC production"),
+    "POC_ACCUM": DiagSpec(_L, _RATE, "POC accumulation (declared but never "
+                                     "assigned in the reference; always 0)"),
     "POC_REMIN": DiagSpec(_L, _RATE, "POC remineralization"),
     "CaCO3_FLUX_IN": DiagSpec(_L, _FLUX, "CaCO3 flux into cell"),
     "CaCO3_PROD": DiagSpec(_L, _RATE, "CaCO3 production"),

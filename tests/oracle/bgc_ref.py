@@ -110,6 +110,8 @@ def bgc_source_sink_ref(tracers, grid, forcing, ph_prev, ph_prev_alt, p):
         "CO3": np.zeros((nlev, ncol)), "pH_3D": np.zeros((nlev, ncol)),
         "POC_FLUX_IN": np.zeros((nlev, ncol)),
         "POC_REMIN": np.zeros((nlev, ncol)),
+        # declared, zeroed, never assigned (BGC_parms.F90:206): stays zero
+        "POC_ACCUM": np.zeros((nlev, ncol)),
         "NITRIF": np.zeros((nlev, ncol)),
         "DENITRIF": np.zeros((nlev, ncol)),
         "PAR_avg": np.zeros((nlev, ncol)),

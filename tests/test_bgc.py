@@ -143,6 +143,9 @@ def test_bgc_matches_oracle(rng, lrest):
         np.testing.assert_allclose(
             np.asarray(out.diags[name]), want_diags[name],
             rtol=1e-9, atol=1e-22, err_msg=name)
+    # POC_ACCUM is declared but never assigned in the reference
+    # (BGC_parms.F90:206): the host reads zeros, and so do we
+    assert (np.asarray(out.diags["POC_ACCUM"]) == 0.0).all()
     # saturation depths: the crossing interpolation divides by a CO3
     # anomaly difference, amplifying the ~solver-tolerance CO3 error for
     # near-grazing crossings -> mm-level agreement, not exact
