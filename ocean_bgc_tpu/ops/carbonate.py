@@ -72,9 +72,14 @@ def press_bar_from_depth(depth_m):
             + 0.100766 * depth_m + 2.28405e-7 * depth_m ** 2)
 
 
-def _pressure_factor(deltaV, kappa, press_bar, invRtk):
-    """exp((-dV + 0.5*kappa*P) * P / (R*T)) (Millero pressure correction)."""
-    return jnp.exp((-deltaV + 0.5 * kappa * press_bar) * press_bar * invRtk)
+def _pressure_ln_factor(deltaV, kappa, press_bar, invRtk):
+    """(-dV + 0.5*kappa*P) * P / (R*T): the LOG of the Millero pressure
+    correction factor.  Every constant it corrects is itself an exp(), so
+    the correction is folded into that exp's argument — one transcendental
+    instead of two (exp(a)*exp(c) -> exp(a+c), ~1 ulp; the f64 step is
+    transcendental-bound on TPU and this removes 12 of its ~38 exp/log
+    per cell)."""
+    return (-deltaV + 0.5 * kappa * press_bar) * press_bar * invRtk
 
 
 def carbonate_coeffs(depth_m, temp, salt, apply_pressure, *,
@@ -106,9 +111,12 @@ def carbonate_coeffs(depth_m, temp, salt, apply_pressure, *,
     scl = salt_lim / 1.80655
     log_1_m_1p005em3_s = jnp.log(1.0 - 0.001005 * salt_lim)
 
-    def pcorr(k_val, deltaV, kappa):
-        kfac = _pressure_factor(deltaV, kappa, press, invRtk)
-        return jnp.where(apply_pressure, k_val * kfac, k_val)
+    def padd(deltaV, kappa):
+        """Additive (log-space) Millero pressure correction, gated on
+        the vectorized k > 1 test; exactly 0.0 at the surface so the
+        uncorrected exp() is bit-identical to the ungated form."""
+        ln_fac = _pressure_ln_factor(deltaV, kappa, press, invRtk)
+        return jnp.where(apply_pressure, ln_fac, 0.0)
 
     # ff — Weiss & Price 1980 (co2calc.F90:423-431)
     ff = jnp.exp(-162.8301 + 218.2968 / tk100
@@ -133,39 +141,40 @@ def carbonate_coeffs(depth_m, temp, salt, apply_pressure, *,
         arg1 = (3670.7 * invtk - 62.008 + 9.7944 * dlogtk
                 - 0.0118 * salt_lim + 0.000116 * s2)
         arg2 = (1394.7 * invtk + 4.777 - 0.0184 * salt_lim + 0.000118 * s2)
-    k1 = jnp.exp(-_LN10 * arg1)
-    k1 = pcorr(k1, -25.5 + 0.1271 * temp, (-3.08 + 0.0877 * temp) * 1e-3)
-    k2 = jnp.exp(-_LN10 * arg2)
-    k2 = pcorr(k2, -15.82 - 0.0219 * temp, (1.13 - 0.1475 * temp) * 1e-3)
+    k1 = jnp.exp(-_LN10 * arg1
+                 + padd(-25.5 + 0.1271 * temp, (-3.08 + 0.0877 * temp) * 1e-3))
+    k2 = jnp.exp(-_LN10 * arg2
+                 + padd(-15.82 - 0.0219 * temp, (1.13 - 0.1475 * temp) * 1e-3))
 
     # kb — Millero 1995 / Dickson 1990 (co2calc.F90:529-551)
     kb = jnp.exp((-8966.90 - 2890.53 * sqrts - 77.942 * salt_lim
                   + 1.728 * salt_lim * sqrts - 0.0996 * s2) * invtk
                  + (148.0248 + 137.1942 * sqrts + 1.62142 * salt_lim)
                  + (-24.4344 - 25.085 * sqrts - 0.2474 * salt_lim) * dlogtk
-                 + 0.053105 * sqrts * tk)
-    kb = pcorr(kb, -29.48 + (0.1622 - 0.002608 * temp) * temp, -2.84e-3)
+                 + 0.053105 * sqrts * tk
+                 + padd(-29.48 + (0.1622 - 0.002608 * temp) * temp,
+                        -2.84e-3))
 
     # k1p — DOE 1994 eq 7.2.20 (co2calc.F90:560-580)
     k1p = jnp.exp(-4576.752 * invtk + 115.525 - 18.453 * dlogtk
                   + (-106.736 * invtk + 0.69171) * sqrts
-                  + (-0.65643 * invtk - 0.01844) * salt_lim)
-    k1p = pcorr(k1p, -14.51 + (0.1211 - 0.000321 * temp) * temp,
-                (-2.67 + 0.0427 * temp) * 1e-3)
+                  + (-0.65643 * invtk - 0.01844) * salt_lim
+                  + padd(-14.51 + (0.1211 - 0.000321 * temp) * temp,
+                         (-2.67 + 0.0427 * temp) * 1e-3))
 
     # k2p — DOE 1994 eq 7.2.23 (co2calc.F90:589-609)
     k2p = jnp.exp(-8814.715 * invtk + 172.0883 - 27.927 * dlogtk
                   + (-160.340 * invtk + 1.3566) * sqrts
-                  + (0.37335 * invtk - 0.05778) * salt_lim)
-    k2p = pcorr(k2p, -23.12 + (0.1758 - 0.002647 * temp) * temp,
-                (-5.15 + 0.09 * temp) * 1e-3)
+                  + (0.37335 * invtk - 0.05778) * salt_lim
+                  + padd(-23.12 + (0.1758 - 0.002647 * temp) * temp,
+                         (-5.15 + 0.09 * temp) * 1e-3))
 
     # k3p — DOE 1994 eq 7.2.26 (co2calc.F90:618-637)
     k3p = jnp.exp(-3070.75 * invtk - 18.141
                   + (17.27039 * invtk + 2.81197) * sqrts
-                  + (-44.99486 * invtk - 0.09984) * salt_lim)
-    k3p = pcorr(k3p, -26.57 + (0.202 - 0.003042 * temp) * temp,
-                (-4.08 + 0.0714 * temp) * 1e-3)
+                  + (-44.99486 * invtk - 0.09984) * salt_lim
+                  + padd(-26.57 + (0.202 - 0.003042 * temp) * temp,
+                         (-4.08 + 0.0714 * temp) * 1e-3))
 
     # ksi — Millero 1995 / Yao & Millero (co2calc.F90:647-669);
     # pressure correction borrows the boric-acid values
@@ -173,15 +182,16 @@ def carbonate_coeffs(depth_m, temp, salt, apply_pressure, *,
                   + (-458.79 * invtk + 3.5913) * sqrtis
                   + (188.74 * invtk - 1.5998) * ionic
                   + (-12.1652 * invtk + 0.07871) * ionic2
-                  + log_1_m_1p005em3_s)
-    ksi = pcorr(ksi, -29.48 + (0.1622 - 0.002608 * temp) * temp, -2.84e-3)
+                  + log_1_m_1p005em3_s
+                  + padd(-29.48 + (0.1622 - 0.002608 * temp) * temp,
+                         -2.84e-3))
 
     # kw — Millero 1995 composite (co2calc.F90:681-700)
     kw = jnp.exp(-13847.26 * invtk + 148.9652 - 23.6521 * dlogtk
                  + (118.67 * invtk - 5.977 + 1.0495 * dlogtk) * sqrts
-                 - 0.01615 * salt_lim)
-    kw = pcorr(kw, -20.02 + (0.1119 - 0.001409 * temp) * temp,
-               (-5.13 + 0.0794 * temp) * 1e-3)
+                 - 0.01615 * salt_lim
+                 + padd(-20.02 + (0.1119 - 0.001409 * temp) * temp,
+                        (-5.13 + 0.0794 * temp) * 1e-3))
 
     # ks — Dickson 1990, free scale (co2calc.F90:709-731)
     ks = jnp.exp(-4276.1 * invtk + 141.328 - 23.093 * dlogtk
@@ -189,18 +199,18 @@ def carbonate_coeffs(depth_m, temp, salt, apply_pressure, *,
                  + (35474.0 * invtk - 771.54 + 114.723 * dlogtk) * ionic
                  - 2698.0 * invtk * ionic * sqrtis
                  + 1776.0 * invtk * ionic2
-                 + log_1_m_1p005em3_s)
-    ks = pcorr(ks, -18.03 + (0.0466 + 0.000316 * temp) * temp,
-               (-4.53 + 0.09 * temp) * 1e-3)
+                 + log_1_m_1p005em3_s
+                 + padd(-18.03 + (0.0466 + 0.000316 * temp) * temp,
+                        (-4.53 + 0.09 * temp) * 1e-3))
 
     # kf — Dickson & Riley 1979, converted to total scale
     # (co2calc.F90:740-764); note dependence on ks computed above
     log_1_p_tot_sulfate_div_ks = jnp.log(
         1.0 + (0.1400 / 96.062) * scl / ks)
     kf = jnp.exp(1590.2 * invtk - 12.641 + 1.525 * sqrtis
-                 + log_1_m_1p005em3_s + log_1_p_tot_sulfate_div_ks)
-    kf = pcorr(kf, -9.78 - (0.009 + 0.000942 * temp) * temp,
-               (-3.91 + 0.054 * temp) * 1e-3)
+                 + log_1_m_1p005em3_s + log_1_p_tot_sulfate_div_ks
+                 + padd(-9.78 - (0.009 + 0.000942 * temp) * temp,
+                        (-3.91 + 0.054 * temp) * 1e-3))
 
     # total borate (Uppstrom 1974), sulfate (Morris & Riley 1966),
     # fluoride (Riley 1965) (co2calc.F90:773-775)
@@ -622,23 +632,26 @@ def co3_sat_vals(depth_m, temp, salt, apply_pressure):
     sqrts = jnp.sqrt(salt_lim)
     s15 = sqrts * salt_lim
 
+    deltaV_calc = -48.76 + 0.5304 * temp
+    kappa = (-11.76 + 0.3692 * temp) * 1e-3
+    # pressure corrections folded into the solubility exps (log-space
+    # add gated to exactly 0.0 at the surface — see _pressure_ln_factor)
+    ln_fac_calc = _pressure_ln_factor(deltaV_calc, kappa, press, invRtk)
     k_calc = jnp.exp(_LN10 * (
         -171.9065 - 0.077993 * tk + 2839.319 * invtk + 71.595 * log10tk
         + (-0.77712 + 0.0028426 * tk + 178.34 * invtk) * sqrts
-        - 0.07711 * salt_lim + 0.0041249 * s15))
-    deltaV_calc = -48.76 + 0.5304 * temp
-    kappa = (-11.76 + 0.3692 * temp) * 1e-3
-    kfac_calc = _pressure_factor(deltaV_calc, kappa, press, invRtk)
-    k_calc = jnp.where(apply_pressure, k_calc * kfac_calc, k_calc)
+        - 0.07711 * salt_lim + 0.0041249 * s15)
+        + jnp.where(apply_pressure, ln_fac_calc, 0.0))
 
+    # the reference reuses the calcite correction with deltaV shifted by
+    # +2.8 and the same kappa (co2calc.F90:1212-1221)
+    ln_fac_arag = _pressure_ln_factor(deltaV_calc + 2.8, kappa, press,
+                                      invRtk)
     k_arag = jnp.exp(_LN10 * (
         -171.945 - 0.077993 * tk + 2903.293 * invtk + 71.595 * log10tk
         + (-0.068393 + 0.0017276 * tk + 88.135 * invtk) * sqrts
-        - 0.10018 * salt_lim + 0.0059415 * s15))
-    # the reference reuses the calcite correction with deltaV shifted by
-    # +2.8 and the same kappa (co2calc.F90:1212-1221)
-    kfac_arag = _pressure_factor(deltaV_calc + 2.8, kappa, press, invRtk)
-    k_arag = jnp.where(apply_pressure, k_arag * kfac_arag, k_arag)
+        - 0.10018 * salt_lim + 0.0059415 * s15)
+        + jnp.where(apply_pressure, ln_fac_arag, 0.0))
 
     inv_ca = (35.0 / 0.01028) / salt_lim
     co3_sat_calc = k_calc * inv_ca * MASS_TO_VOL
