@@ -224,60 +224,70 @@ def carbonate_coeffs(depth_m, temp, salt, apply_pressure, *,
 
 
 def talk(coeffs: CarbCoeffs, dic, ta, pt, sit, x):
-    """Total alkalinity fn(H) and d(fn)/dH at htotal = x (talk_row,
-    co2calc.F90:1001-1092).  All concentrations in mol/kg.
+    """Total alkalinity fn(H) and d(fn)/dH at htotal = x.
 
-    fn = hco3 + co3 + borate + oh + hpo4 + 2*po4 + silicate
+    Same 12-term TA residual as the reference's ``talk_row``
+    (co2calc.F90:1001-1092), re-expressed by chemical species; every sum
+    and product keeps the reference's association order (bitwise-pinned
+    by tests/test_carbonate.py::test_talk_golden_bitwise), because
+    factorization order is load-bearing for f64 trajectory parity.
+    All concentrations in mol/kg.
+
+    fn = hco3 + 2*co3 + borate + oh + hpo4 + 2*po4 + silicate
          - hfree - hso4 - hf - h3po4 - ta
     """
-    x1 = x
-    x1_r = 1.0 / x1
-    x2 = x1 * x1
-    x2_r = x1_r * x1_r
-    x3 = x2 * x1
-    k12 = coeffs.k1 * coeffs.k2
-    k12p = coeffs.k1p * coeffs.k2p
-    k123p = k12p * coeffs.k3p
-    a = x3 + coeffs.k1p * x2 + k12p * x1 + k123p
-    a_r = 1.0 / a
-    a2_r = a_r * a_r
-    da = 3.0 * x2 + 2.0 * coeffs.k1p * x1 + k12p
-    b = x2 + coeffs.k1 * x1 + k12
-    b_r = 1.0 / b
-    b2_r = b_r * b_r
-    db = 2.0 * x1 + coeffs.k1
-    c = 1.0 + coeffs.st / coeffs.ks
-    c_r = 1.0 / c
-    kb_p_x1_r = 1.0 / (coeffs.kb + x1)
-    ksi_p_x1_r = 1.0 / (coeffs.ksi + x1)
-    c1_p_c_ks_x1_r_r = 1.0 / (1.0 + c * coeffs.ks * x1_r)
-    c1_p_kf_x1_r_r = 1.0 / (1.0 + coeffs.kf * x1_r)
+    h = x                               # total-scale [H+]
+    inv_h = 1.0 / h
+    h2 = h * h
+    inv_h2 = inv_h * inv_h
+    h3 = h2 * h
+    k12 = coeffs.k1 * coeffs.k2         # carbonic K1*K2
+    k12p = coeffs.k1p * coeffs.k2p      # phosphoric K1*K2
+    k123p = k12p * coeffs.k3p           # phosphoric K1*K2*K3
+    # phosphate speciation denominator h^3 + K1p h^2 + K1p K2p h + K1p K2p K3p
+    phos_den = h3 + coeffs.k1p * h2 + k12p * h + k123p
+    inv_phos_den = 1.0 / phos_den
+    inv_phos_den2 = inv_phos_den * inv_phos_den
+    dphos_den = 3.0 * h2 + 2.0 * coeffs.k1p * h + k12p
+    # carbonate speciation denominator h^2 + K1 h + K1 K2
+    carb_den = h2 + coeffs.k1 * h + k12
+    inv_carb_den = 1.0 / carb_den
+    inv_carb_den2 = inv_carb_den * inv_carb_den
+    dcarb_den = 2.0 * h + coeffs.k1
+    # total-to-free hydrogen scale conversion 1 + ST/KS
+    htot_per_hfree = 1.0 + coeffs.st / coeffs.ks
+    hfree_per_htot = 1.0 / htot_per_hfree
+    inv_borate_den = 1.0 / (coeffs.kb + h)      # B(OH)4- denominator
+    inv_sili_den = 1.0 / (coeffs.ksi + h)       # SiO(OH)3- denominator
+    # HSO4- fraction of total sulfate: 1 / (1 + (1+ST/KS)*KS/H)
+    hso4_frac = 1.0 / (1.0 + htot_per_hfree * coeffs.ks * inv_h)
+    hf_frac = 1.0 / (1.0 + coeffs.kf * inv_h)   # HF fraction of fluoride
 
-    fn = (coeffs.k1 * dic * x1 * b_r
-          + 2.0 * dic * k12 * b_r
-          + coeffs.bt * coeffs.kb * kb_p_x1_r
-          + coeffs.kw * x1_r
-          + pt * k12p * x1 * a_r
-          + 2.0 * pt * k123p * a_r
-          + sit * coeffs.ksi * ksi_p_x1_r
-          - x1 * c_r
-          - coeffs.st * c1_p_c_ks_x1_r_r
-          - coeffs.ft * c1_p_kf_x1_r_r
-          - pt * x3 * a_r
+    fn = (coeffs.k1 * dic * h * inv_carb_den            # HCO3-
+          + 2.0 * dic * k12 * inv_carb_den              # 2 CO3=
+          + coeffs.bt * coeffs.kb * inv_borate_den      # B(OH)4-
+          + coeffs.kw * inv_h                           # OH-
+          + pt * k12p * h * inv_phos_den                # HPO4=
+          + 2.0 * pt * k123p * inv_phos_den             # 2 PO4---
+          + sit * coeffs.ksi * inv_sili_den             # SiO(OH)3-
+          - h * hfree_per_htot                          # - free H+
+          - coeffs.st * hso4_frac                       # - HSO4-
+          - coeffs.ft * hf_frac                         # - HF
+          - pt * h3 * inv_phos_den                      # - H3PO4
           - ta)
 
-    df = (coeffs.k1 * dic * (b - x1 * db) * b2_r
-          - 2.0 * dic * k12 * db * b2_r
-          - coeffs.bt * coeffs.kb * kb_p_x1_r * kb_p_x1_r
-          - coeffs.kw * x2_r
-          + (pt * k12p * (a - x1 * da)) * a2_r
-          - 2.0 * pt * k123p * da * a2_r
-          - sit * coeffs.ksi * ksi_p_x1_r * ksi_p_x1_r
-          - 1.0 * c_r
-          - coeffs.st * c1_p_c_ks_x1_r_r * c1_p_c_ks_x1_r_r
-            * (c * coeffs.ks * x2_r)
-          - coeffs.ft * c1_p_kf_x1_r_r * c1_p_kf_x1_r_r * coeffs.kf * x2_r
-          - pt * x2 * (3.0 * a - x1 * da) * a2_r)
+    df = (coeffs.k1 * dic * (carb_den - h * dcarb_den) * inv_carb_den2
+          - 2.0 * dic * k12 * dcarb_den * inv_carb_den2
+          - coeffs.bt * coeffs.kb * inv_borate_den * inv_borate_den
+          - coeffs.kw * inv_h2
+          + (pt * k12p * (phos_den - h * dphos_den)) * inv_phos_den2
+          - 2.0 * pt * k123p * dphos_den * inv_phos_den2
+          - sit * coeffs.ksi * inv_sili_den * inv_sili_den
+          - 1.0 * hfree_per_htot
+          - coeffs.st * hso4_frac * hso4_frac
+            * (htot_per_hfree * coeffs.ks * inv_h2)
+          - coeffs.ft * hf_frac * hf_frac * coeffs.kf * inv_h2
+          - pt * h2 * (3.0 * phos_den - h * dphos_den) * inv_phos_den2)
 
     return fn, df
 

@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 import ocean_bgc_tpu  # noqa: F401  (enables x64)
+import jax
 import jax.numpy as jnp
 
 from ocean_bgc_tpu.ops import carbonate as carb
@@ -156,3 +157,40 @@ def test_tracer_floors():
         jnp.asarray([0.0]), jnp.asarray([6.0]), jnp.asarray([9.0]), False)
     assert np.isfinite(np.asarray(ph)).all()
     assert np.asarray(hco3)[0] > 0.0
+
+
+def test_talk_golden_bitwise():
+    """Bitwise pin of the total-alkalinity residual fn(H) and d(fn)/dH.
+
+    The 12-term TA expression (co2calc.F90:1060) keeps the reference's
+    association/factorization order because it is load-bearing for f64
+    trajectory parity; these golden values (captured from the validated
+    round-1 implementation, itself verified term-by-term against
+    talk_row) must match to the last bit — any re-association of the
+    arithmetic shows up here before it shows up as trajectory drift.
+    """
+    rng = np.random.default_rng(42)
+    n = 4096
+    depth = jnp.asarray(rng.uniform(0, 5000, n))
+    temp = jnp.asarray(rng.uniform(-1.8, 31, n))
+    salt = jnp.asarray(rng.uniform(28, 40, n))
+    coeffs = carb.carbonate_coeffs(depth, temp, salt,
+                                   jnp.asarray(rng.random(n) > 0.3))
+    dic, ta, pt, sit = carb._to_mass_units(
+        jnp.asarray(rng.uniform(1800, 2400, n)),
+        jnp.asarray(rng.uniform(2000, 2500, n)),
+        jnp.asarray(rng.uniform(0, 3.5, n)),
+        jnp.asarray(rng.uniform(0, 150, n)))
+    x = 10.0 ** (-jnp.asarray(rng.uniform(6.0, 9.0, n)))
+    # jitted, as on every production path (eager op-by-op evaluation
+    # rounds a handful of fused multiply chains differently)
+    fn, df = jax.jit(carb.talk)(coeffs, dic, ta, pt, sit, x)
+    golden = {
+        0: ("0x1.ffafb91c434f4p-11", "-0x1.b189515a37daep+18"),
+        1: ("-0x1.7cc75975bfd78p-12", "-0x1.04602843d2843p+10"),
+        2: ("-0x1.9e03f88bda110p-14", "-0x1.fe925d110e29fp+10"),
+        3: ("-0x1.f2191999ca914p-12", "-0x1.614b25e9c45e4p+9"),
+    }
+    for i, (fn_hex, df_hex) in golden.items():
+        assert float(np.asarray(fn)[i]) == float.fromhex(fn_hex), i
+        assert float(np.asarray(df)[i]) == float.fromhex(df_hex), i
