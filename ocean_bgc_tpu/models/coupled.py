@@ -198,6 +198,16 @@ def step(
     return apply_update(state, tend, dt), diags
 
 
+def _tavg_sums0(track, state, step_fn):
+    """Zero accumulators shaped like the tracked diagnostics
+    (``jax.eval_shape``: no computation, just shapes)."""
+    shapes = jax.eval_shape(lambda s: step_fn(s)[1], state)
+    missing = set(track) - set(shapes)
+    if missing:
+        raise KeyError(f"unknown diagnostics: {sorted(missing)}")
+    return {n: jnp.zeros(shapes[n].shape, shapes[n].dtype) for n in track}
+
+
 def run(
     state: CoupledState,
     grid: ColumnGrid,
@@ -207,24 +217,53 @@ def run(
     nsteps: int,
     *,
     compute_diags: bool = False,
+    tavg_fields=None,
     carbonate_impl: str = "xla",
-) -> Tuple[CoupledState, Dict[str, jax.Array]]:
+):
     """Integrate ``nsteps`` with constant forcing as one compiled scan.
-    Returns the final state and the final step's diagnostics."""
 
-    def body(s, _):
-        s2, d = step(s, grid, forcing, params, dt,
-                     compute_diags=compute_diags,
-                     carbonate_impl=carbonate_impl)
-        return s2, None
+    Returns ``(final state, diags)`` — ``diags`` are the diagnostics of
+    the FINAL step taken (its state update is used; no extra evaluation
+    is paid, unlike the round-1 design which re-ran a full step just to
+    read diagnostics).
 
-    final, _ = jax.lax.scan(body, state, None, length=nsteps)
-    if compute_diags:
-        # re-evaluate diagnostics at the final state (cheap relative to
-        # carrying every step's diagnostics through the scan)
-        _, diags = step(final, grid, forcing, params, dt,
-                        compute_diags=True,
-                        carbonate_impl=carbonate_impl)
-    else:
-        diags = {}
+    ``tavg_fields``: optional sequence of diagnostic names to
+    time-average *inside* the compiled scan (the host model's "tavg"
+    history layer, BGC_mod.F90:1794 comment).  When given, returns
+    ``(final state, diags, TavgState)`` — the running sums live in the
+    scan carry, and XLA dead-code-eliminates every diagnostic that is
+    not tracked, so a 3-field history costs 3 fields, not ~155.
+    """
+    from ocean_bgc_tpu.utils.history import TavgState
+
+    track = tuple(tavg_fields) if tavg_fields is not None else ()
+
+    def one_step(s, want_diags):
+        return step(s, grid, forcing, params, dt,
+                    compute_diags=want_diags,
+                    carbonate_impl=carbonate_impl)
+
+    sums0 = (_tavg_sums0(track, state, lambda s: one_step(s, True))
+             if track else {})
+
+    # the final step runs outside the scan iff its diagnostics are kept
+    emit_final = compute_diags and nsteps >= 1
+    nscan = nsteps - 1 if emit_final else nsteps
+
+    def body(carry, _):
+        s, sums = carry
+        s2, d = one_step(s, bool(track))
+        return (s2, {n: sums[n] + d[n] for n in track}), None
+
+    (final, sums), _ = jax.lax.scan(body, (state, sums0), None,
+                                    length=nscan)
+    diags: Dict[str, jax.Array] = {}
+    if emit_final:
+        final, diags = one_step(final, True)
+        sums = {n: sums[n] + diags[n] for n in track}
+
+    if track:
+        tavg = TavgState(sums=sums,
+                         count=jnp.asarray(nsteps, jnp.int32))
+        return final, diags, tavg
     return final, diags

@@ -73,18 +73,30 @@ def run_forced(
     interp: str = "linear",
     t0: float = 0.0,
     compute_diags: bool = False,
+    tavg_fields=None,
     carbonate_impl: str = "xla",
-) -> Tuple[CoupledState, Dict[str, jax.Array]]:
+):
     """Integrate ``nsteps`` under a time-varying forcing series.
 
     ``record_dt`` is the spacing (s) between consecutive forcing records;
     step ``i`` uses the forcing at model time ``t0 + (i + 1/2) * dt``
     (midpoint sampling, the standard host-coupling convention).
     ``interp``: "linear" blends the bracketing records, "hold" uses the
-    nearest earlier record.  Returns (final state, final-step diags).
+    nearest earlier record.
+
+    Returns ``(final state, diags)`` where ``diags`` belong to the final
+    step taken (its update is used — no extra evaluation).  With
+    ``tavg_fields`` (see :func:`ocean_bgc_tpu.models.coupled.run`)
+    returns ``(final state, diags, TavgState)`` with the selected
+    diagnostics time-averaged inside the compiled scan.
     """
+    from ocean_bgc_tpu.models.coupled import _tavg_sums0
+    from ocean_bgc_tpu.utils.history import TavgState
+
     if interp not in ("linear", "hold"):
         raise ValueError(f"unknown interp mode {interp!r}")
+
+    track = tuple(tavg_fields) if tavg_fields is not None else ()
 
     def forcing_for(i):
         t = (t0 + (i + 0.5) * dt) / record_dt
@@ -95,16 +107,32 @@ def run_forced(
                 t, 0, jax.tree.leaves(series)[0].shape[0] - 1)
             ).astype(jnp.int32))
 
-    def body(s, i):
-        s2, _ = step(s, grid, forcing_for(i), params, dt,
-                     compute_diags=False, carbonate_impl=carbonate_impl)
-        return s2, None
+    def one_step(s, i, want_diags):
+        return step(s, grid, forcing_for(i), params, dt,
+                    compute_diags=want_diags,
+                    carbonate_impl=carbonate_impl)
 
-    final, _ = jax.lax.scan(body, state, jnp.arange(nsteps))
+    sums0 = (_tavg_sums0(track, state, lambda s: one_step(s, 0, True))
+             if track else {})
+
+    emit_final = compute_diags and nsteps >= 1
+    nscan = nsteps - 1 if emit_final else nsteps
+
+    def body(carry, i):
+        s, sums = carry
+        s2, d = one_step(s, i, bool(track))
+        return (s2, {n: sums[n] + d[n] for n in track}), None
+
+    (final, sums), _ = jax.lax.scan(body, (state, sums0),
+                                    jnp.arange(nscan))
     diags: Dict[str, jax.Array] = {}
-    if compute_diags:
-        _, diags = step(final, grid, forcing_for(nsteps - 1), params, dt,
-                        compute_diags=True, carbonate_impl=carbonate_impl)
+    if emit_final:
+        final, diags = one_step(final, nsteps - 1, True)
+        sums = {n: sums[n] + diags[n] for n in track}
+
+    if track:
+        tavg = TavgState(sums=sums, count=jnp.asarray(nsteps, jnp.int32))
+        return final, diags, tavg
     return final, diags
 
 

@@ -71,6 +71,22 @@ class ParticleCarry(NamedTuple):
     qa_dust_def: jax.Array
 
 
+class ParticleProdOut(NamedTuple):
+    """The subset of per-level particulate results the *production*
+    (diags-off) tendency assembly consumes.  Stacking only these as the
+    level-scan outputs keeps the sed-loss/dust fields — which only
+    diagnostics read — out of HBM entirely (they are still computed
+    inside the scan body where the bottom-cell re-injection needs them,
+    but XLA dead-code-eliminates their per-level stacking)."""
+
+    poc_remin: jax.Array
+    caco3_remin: jax.Array
+    sio2_remin: jax.Array
+    fe_remin: jax.Array
+    sed_denitrif: jax.Array
+    other_remin: jax.Array
+
+
 class ParticleLevelOut(NamedTuple):
     """Per-level results consumed by the tendency assembly."""
 
