@@ -38,12 +38,15 @@ def _throughput(device, ncol, nlev, nsteps, repeats, compute_diags,
 
     # jit ONE step (the smallest program — TPU compile time on this image
     # is service-bound and highly variable) and loop in Python; dispatch
-    # overhead is negligible against the f64 step cost
+    # overhead is negligible against the f64 step cost.  The diagnostics
+    # dict is RETURNED (not dropped) so the diags-on configuration truly
+    # materializes all ~155 fields — dropping it lets XLA dead-code-
+    # eliminate the entire diagnostic computation and fakes the number.
     fn = jax.jit(
         lambda s: step(s, grid, forcing, params, 3600.0,
-                       compute_diags=compute_diags)[0],
+                       compute_diags=compute_diags),
         donate_argnums=0)
-    out = fn(state)                      # compile + warm up
+    out, diags = fn(state)               # compile + warm up
     jax.block_until_ready(out)
 
     import jax.numpy as jnp
@@ -51,10 +54,12 @@ def _throughput(device, ncol, nlev, nsteps, repeats, compute_diags,
     for _ in range(repeats):
         t0 = time.perf_counter()
         for _ in range(nsteps):
-            out = fn(out)
+            out, diags = fn(out)
         # scalar readback: airtight sync on every backend (verified
         # equal to block_until_ready on this stack for the step fn)
         float(jnp.sum(out.bgc.surface_ph))
+        if compute_diags:
+            float(jnp.sum(next(iter(diags.values()))))
         best = min(best, (time.perf_counter() - t0) / nsteps)
     return ncol / best
 

@@ -120,6 +120,14 @@ def bgc_source_sink_ref(tracers, grid, forcing, ph_prev, ph_prev_alt, p):
         "Chl_TOT_zint_100m": np.zeros(ncol),
         "pocToSed": np.zeros((nlev, ncol)),
         "SedDenitrif": np.zeros((nlev, ncol)),
+        "OtherRemin": np.zeros((nlev, ncol)),
+        "calcToSed": np.zeros((nlev, ncol)),
+        "bsiToSed": np.zeros((nlev, ncol)),
+        # test-only (underscore-prefixed, not reference diagnostics):
+        # bottom-cell outgoing fluxes captured before bottom zeroing
+        "_poc_flux_out_bot": np.zeros(ncol),
+        "_sio2_flux_out_bot": np.zeros(ncol),
+        "_caco3_flux_out_bot": np.zeros(ncol),
     }
 
     for col in range(ncol):
@@ -593,6 +601,15 @@ def bgc_source_sink_ref(tracers, grid, forcing, ph_prev, ph_prev_alt, p):
                 if flux > 0.0:
                     piron.sed_loss = flux
                 dust.sed_loss = dust.sflux_out + dust.hflux_out
+                # test-only captures of the bottom out-fluxes (before
+                # the zeroing below), so directed bottom-branch tests
+                # can verify the branch condition truly held
+                diags["_poc_flux_out_bot"][col] = (poc.sflux_out
+                                                   + poc.hflux_out)
+                diags["_sio2_flux_out_bot"][col] = (sio2.sflux_out
+                                                    + sio2.hflux_out)
+                diags["_caco3_flux_out_bot"][col] = (caco3.sflux_out
+                                                     + caco3.hflux_out)
                 for part in (caco3, sio2, dust, poc, piron):
                     part.sflux_out = 0.0
                     part.hflux_out = 0.0
@@ -601,6 +618,9 @@ def bgc_source_sink_ref(tracers, grid, forcing, ph_prev, ph_prev_alt, p):
             diags["POC_REMIN"][k, col] = poc.remin
             diags["pocToSed"][k, col] = poc.sed_loss
             diags["SedDenitrif"][k, col] = sed_denitrif * dz
+            diags["OtherRemin"][k, col] = other_remin * dz
+            diags["calcToSed"][k, col] = caco3.sed_loss
+            diags["bsiToSed"][k, col] = sio2.sed_loss
 
             # --- nitrate & ammonium ---
             if p.lrest_no3:
