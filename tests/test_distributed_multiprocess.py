@@ -1,0 +1,100 @@
+"""REAL multi-process distributed execution (the reference host model's
+MPI analogue, SURVEY.md §4/§5): two OS processes, each owning two virtual
+CPU devices, form one 4-device columns mesh via ``jax.distributed`` and
+run the shard_map'd coupled step with a genuine cross-process psum (Gloo
+collectives).  The reassembled result must match a plain single-process
+run of the identical world — proving the multi-host code path in
+``parallel/distributed.py`` (initialize / global_mesh /
+host_local_columns / host_local_to_global) end to end, not just the
+single-process virtual mesh.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+import ocean_bgc_tpu  # noqa: F401
+from ocean_bgc_tpu.models.coupled import step
+from ocean_bgc_tpu.parallel.sharding import GLOBAL_SUM_DIAGS
+from ocean_bgc_tpu.params import ModelParams
+from ocean_bgc_tpu.utils.synthetic import synthetic_world
+
+NPROC = 2
+DEVICES_PER_PROC = 2
+TOTAL_COLS = 32
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_mesh_matches_single_process(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "mp_worker_distributed.py")
+    port = _free_port()
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # the worker sets its own XLA_FLAGS / platform before first jax use
+    env.pop("XLA_FLAGS", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), str(NPROC), str(port),
+             str(tmp_path), str(DEVICES_PER_PROC)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(NPROC)
+    ]
+    outputs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+
+    # ---- reassemble the distributed result ----
+    nlev, ntrc = 6, 30
+    got = np.full((nlev, ntrc, TOTAL_COLS), np.nan)
+    gsums = {}
+    for pid in range(NPROC):
+        with np.load(tmp_path / f"proc{pid}.npz") as f:
+            for key in f.files:
+                if key.startswith("tracers_"):
+                    col0 = int(key.split("_")[1])
+                    block = f[key]
+                    got[:, :, col0:col0 + block.shape[-1]] = block
+                elif key.startswith("gsum_"):
+                    gsums.setdefault(key[5:], []).append(float(f[key]))
+    assert not np.isnan(got).any(), "missing output shards"
+    # the replicated global sums must agree across processes exactly
+    for name, vals in gsums.items():
+        assert len(vals) == NPROC
+        assert vals[0] == vals[1], name
+
+    # ---- single-process reference of the identical configuration ----
+    state, grid, forcing = synthetic_world(nlev=6, ncol=TOTAL_COLS,
+                                           seed=29, ragged=True)
+    params = ModelParams()
+    s1, _ = step(state, grid, forcing, params, 3600.0,
+                 compute_diags=False)
+    s2, diags = step(s1, grid, forcing, params, 3600.0,
+                     compute_diags=True)
+
+    np.testing.assert_allclose(got, np.asarray(s2.bgc.tracers),
+                               rtol=1e-12, atol=1e-18)
+    for name in GLOBAL_SUM_DIAGS:
+        want = float(np.sum(np.asarray(diags[name])))
+        # cross-shard psum associates differently than one global sum
+        np.testing.assert_allclose(gsums[name][0], want, rtol=1e-11,
+                                   atol=1e-14, err_msg=name)
