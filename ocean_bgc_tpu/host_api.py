@@ -15,6 +15,20 @@ tracer columns in this package's canonical order — marshaling through
 kernels.  State that the reference carries *in* its argument structs (the
 pH warm starts) is passed in and returned explicitly.
 
+.. warning:: **Tracer order is FIXED, not runtime-configurable.**  The
+   reference lets the host assign arbitrary tracer indices into its
+   ``*_indices_type`` structs at init (BGC_parms.F90:81-125) and indexes
+   through that indirection on every access.  This framework deliberately
+   replaces the indirection with the static canonical order of
+   ``state.BGCTracers`` / ``DMSTracers`` / ``MACROSTracers`` (static
+   indices are what let XLA fuse the tracer block; a runtime permutation
+   would defeat it).  A migrating host MUST permute its tracer storage to
+   the canonical order once at the boundary — ``bgc_init().short_name``
+   / ``dms_init()`` / ``macros_init()`` give the exact order, and
+   ``io.host_layout`` for the (column-major <-> lane-major) packers that
+   do it.  Passing arrays in the host's own tracer order silently
+   computes the wrong physics; there is no runtime check possible.
+
 Functions are stateless and jit-cached per shape; a production host that
 controls its own device buffers should use the pytree API
 (``models.coupled``) directly — this adapter is the migration path.

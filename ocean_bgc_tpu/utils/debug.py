@@ -89,6 +89,30 @@ def solver_health(state: CoupledState, grid: ColumnGrid,
     }
 
 
+def poc_bounds_report(diags: Dict) -> Dict[str, float]:
+    """The reference's ``poc_error`` flag as an observable.
+
+    ``compute_particulate_terms`` sets ``poc_error = .true.`` when the
+    POC production available for QA ballast goes negative —
+    ``POC_PROD - rho_CaCO3*CaCO3_PROD - rho_SiO2*SiO2_PROD < 0``
+    (BGC_mod.F90:2296-2297, 2373-2383) — and then never reads the flag.
+    This reports the same condition from the emitted production
+    diagnostics: violation count, worst deficit, and the flag itself,
+    so a host can actually monitor what the Fortran silently records.
+    """
+    from ocean_bgc_tpu.ops.particulates import RHO_CACO3, RHO_SIO2
+
+    avail = (np.asarray(diags["POC_PROD"])
+             - RHO_CACO3 * np.asarray(diags["CaCO3_PROD"])
+             - RHO_SIO2 * np.asarray(diags["SiO2_PROD"]))
+    viol = avail < 0.0
+    return {
+        "poc_error": bool(viol.any()),
+        "n_violating_cells": int(viol.sum()),
+        "min_poc_prod_avail": float(avail.min()) if avail.size else 0.0,
+    }
+
+
 def checked_step(step_fn: Callable, grid: ColumnGrid) -> Callable:
     """Wrap a step callable; raises FloatingPointError naming the first
     corrupted field if the output state contains non-finite values."""

@@ -61,3 +61,27 @@ def test_checked_step_raises_on_corruption():
                        compute_diags=False), grid)
     out, _ = ok_step(state)
     assert np.isfinite(np.asarray(out.bgc.tracers)).all()
+
+
+def test_poc_bounds_report():
+    """The poc_error observable (BGC_mod.F90:2296-2383 equivalent)."""
+    from ocean_bgc_tpu.models.coupled import step
+    from ocean_bgc_tpu.params import ModelParams
+    from ocean_bgc_tpu.utils.debug import poc_bounds_report
+    from ocean_bgc_tpu.utils.synthetic import synthetic_world
+
+    state, grid, forcing = synthetic_world(nlev=6, ncol=8, seed=91)
+    _, diags = step(state, grid, forcing, ModelParams(), 3600.0)
+    rep = poc_bounds_report(diags)
+    assert set(rep) == {"poc_error", "n_violating_cells",
+                        "min_poc_prod_avail"}
+    # physically-plausible worlds satisfy the bound
+    assert rep["poc_error"] is False and rep["n_violating_cells"] == 0
+
+    # a manufactured violation is detected
+    import numpy as np
+    bad = dict(diags)
+    bad["CaCO3_PROD"] = np.asarray(diags["CaCO3_PROD"]) + 1.0
+    rep2 = poc_bounds_report(bad)
+    assert rep2["poc_error"] is True and rep2["n_violating_cells"] > 0
+    assert rep2["min_poc_prod_avail"] < 0.0
