@@ -26,7 +26,7 @@ import jax
 
 
 def _throughput(device, ncol, nlev, nsteps, repeats, compute_diags,
-                dtype=None):
+                dtype=None, carbonate_impl="xla"):
     from ocean_bgc_tpu.models.coupled import step
     from ocean_bgc_tpu.params import ModelParams
     from ocean_bgc_tpu.utils.synthetic import synthetic_world
@@ -44,7 +44,8 @@ def _throughput(device, ncol, nlev, nsteps, repeats, compute_diags,
     # eliminate the entire diagnostic computation and fakes the number.
     fn = jax.jit(
         lambda s: step(s, grid, forcing, params, 3600.0,
-                       compute_diags=compute_diags),
+                       compute_diags=compute_diags,
+                       carbonate_impl=carbonate_impl),
         donate_argnums=0)
     out, diags = fn(state)               # compile + warm up
     jax.block_until_ready(out)
@@ -167,6 +168,9 @@ def _pallas_co2_mode(repeats):
             jnp.full(n, 6.1, f32), jnp.full(n, 8.9, f32),
             jnp.asarray(rng.uniform(0, 5000, n) > 10.0))
 
+    # jit the WHOLE wrapper (padding/reshape included): leaving it eager
+    # cost round 1 a third of the kernel's true throughput
+    @jax.jit
     def pallas_fn(*a):
         pa, pb, sc = co3_terms_dual_sat_pallas(*a)
         return sum(jnp.sum(x) for x in pa + pb + sc)
@@ -228,8 +232,9 @@ def main():
     import jax.numpy as jnp
     dtype = jnp.float32 if os.environ.get("BENCH_DTYPE") == "f32" else None
     device = jax.devices()[0]
+    carb = os.environ.get("BENCH_CARB_IMPL", "auto")
     value = _throughput(device, ncol, nlev, nsteps, repeats, diags,
-                        dtype=dtype)
+                        dtype=dtype, carbonate_impl=carb)
 
     # host-CPU baseline (serial-Fortran stand-in): same physics, one CPU
     # device, smaller column count for wall-clock sanity
@@ -245,7 +250,8 @@ def main():
     prec = "f32" if dtype is not None else "f64"
     print(json.dumps({
         "metric": f"columns_per_s_per_chip_full_coupled_step_{prec}"
-                  + ("_with_diags" if diags else ""),
+                  + ("_with_diags" if diags else "")
+                  + (f"_carb_{carb}" if carb != "auto" else ""),
         "value": round(value, 2),
         "unit": "columns/s/chip (60-level, 35-tracer step)",
         "vs_baseline": round(vs_baseline, 3),

@@ -77,7 +77,7 @@ def step_chunked(
     chunk: int = 65536,
     nsteps: int = 1,
     device: Optional[jax.Device] = None,
-    carbonate_impl: str = "xla",
+    carbonate_impl: str = "auto",
 ) -> CoupledState:
     """Advance a host-resident world ``nsteps`` by streaming column
     chunks through the device.  Returns the updated host state (written

@@ -99,7 +99,7 @@ def evaluate_tendencies(
     params: ModelParams,
     *,
     compute_diags: bool = True,
-    carbonate_impl: str = "xla",
+    carbonate_impl: str = "auto",
 ) -> Tuple[CoupledTendencies, Dict[str, jax.Array]]:
     """The coupled model's right-hand side: surface fluxes + all three
     source-sink kernels, as d(state)/dt pytrees."""
@@ -188,7 +188,7 @@ def step(
     dt: float,
     *,
     compute_diags: bool = True,
-    carbonate_impl: str = "xla",
+    carbonate_impl: str = "auto",
 ) -> Tuple[CoupledState, Dict[str, jax.Array]]:
     """One coupled forward-Euler timestep (the host models' standard
     coupling scheme). Returns (state', diagnostics)."""
@@ -218,7 +218,7 @@ def run(
     *,
     compute_diags: bool = False,
     tavg_fields=None,
-    carbonate_impl: str = "xla",
+    carbonate_impl: str = "auto",
 ):
     """Integrate ``nsteps`` with constant forcing as one compiled scan.
 

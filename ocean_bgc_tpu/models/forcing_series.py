@@ -74,7 +74,7 @@ def run_forced(
     t0: float = 0.0,
     compute_diags: bool = False,
     tavg_fields=None,
-    carbonate_impl: str = "xla",
+    carbonate_impl: str = "auto",
 ):
     """Integrate ``nsteps`` under a time-varying forcing series.
 

@@ -161,16 +161,29 @@ def bgc_source_sink(
     params: BGCParams,
     *,
     compute_diags: bool = True,
-    carbonate_impl: str = "xla",
+    carbonate_impl: str = "auto",
 ) -> BGCSourceSinkOut:
     """Tendencies (1/s units of each tracer) + updated pH state + diags.
 
-    ``carbonate_impl``: "xla" (default; exact f64 contract) or "pallas"
-    (the fused fp32 VMEM-resident kernel of ops/pallas_carbonate.py —
-    single-precision only, for the opt-in fast path).
+    ``carbonate_impl``:
+
+    * "auto" (default) — "pallas" for float32 on a TPU backend (the
+      fused VMEM-resident kernel is 1.58x faster end-to-end, measured
+      at the flagship config; docs/BENCHMARKS.md round 2), "xla"
+      everywhere else (float64 = the exact-contract path; CPU has no
+      Mosaic).
+    * "xla" — the batched masked-while_loop solve (bit-compared to the
+      oracle; always the f64 path).
+    * "pallas" — force the fused fp32 kernel
+      (ops/pallas_carbonate.py; single precision only).
     """
 
     nlev, _, ncol = tracers.shape
+    if carbonate_impl == "auto":
+        carbonate_impl = ("pallas"
+                          if (tracers.dtype == jnp.float32
+                              and jax.default_backend() == "tpu")
+                          else "xla")
     autos = params.autotrophs
     nauto = len(autos)
     active = grid.active_mask()                          # (nlev, ncol)

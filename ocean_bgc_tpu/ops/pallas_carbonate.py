@@ -57,7 +57,7 @@ def _carbonate_kernel(depth_ref, temp_ref, salt_ref, dic_ref, ta_ref,
                       phlo_b_ref, phhi_b_ref, press_ref,
                       ph_a_ref, h2co3_a_ref, hco3_a_ref, co3_a_ref,
                       ph_b_ref, h2co3_b_ref, hco3_b_ref, co3_b_ref,
-                      sat_calc_ref, sat_arag_ref):
+                      sat_calc_ref, sat_arag_ref, *, stack_dual):
     depth = depth_ref[:]
     temp = temp_ref[:]
     salt = salt_ref[:]
@@ -67,41 +67,65 @@ def _carbonate_kernel(depth_ref, temp_ref, salt_ref, dic_ref, ta_ref,
                               k1_k2_ph_tot=True)
     dic, ta, pt, sit = _to_mass_units(dic_ref[:], ta_ref[:], pt_ref[:],
                                       sit_ref[:])
-    k12 = coeffs.k1 * coeffs.k2
 
     ln10 = 2.302585092994045684
 
-    # both scenarios in ONE stacked solve (sublane-concatenated): the
-    # while_loop runs max(iters_a, iters_b) instead of their sum
-    x1 = jnp.concatenate([jnp.exp(-ln10 * phhi_a_ref[:]),
-                          jnp.exp(-ln10 * phhi_b_ref[:])], axis=0)
-    x2 = jnp.concatenate([jnp.exp(-ln10 * phlo_a_ref[:]),
-                          jnp.exp(-ln10 * phlo_b_ref[:])], axis=0)
-    coeffs2 = type(coeffs)(*(jnp.concatenate([c, c], axis=0)
-                             for c in coeffs))
-    dic2 = jnp.concatenate([dic, dic], axis=0)
-    ta2 = jnp.concatenate([ta, ta], axis=0)
-    pt2 = jnp.concatenate([pt, pt], axis=0)
-    sit2 = jnp.concatenate([sit, sit], axis=0)
-    h = _solve_htotal_impl(coeffs2, dic2, ta2, pt2, sit2, x1, x2)
-    h2 = h * h
-    k12_2 = coeffs2.k1 * coeffs2.k2
-    denom = 1.0 / (h2 + coeffs2.k1 * h + k12_2)
-    ph = -jnp.log10(h)
-    h2co3 = dic2 * h2 * denom * MASS_TO_VOL
-    hco3 = dic2 * coeffs2.k1 * h * denom * MASS_TO_VOL
-    co3 = dic2 * k12_2 * denom * MASS_TO_VOL
-    nr = dic.shape[0]
-    ph_a_ref[:], h2co3_a_ref[:] = ph[:nr], h2co3[:nr]
-    hco3_a_ref[:], co3_a_ref[:] = hco3[:nr], co3[:nr]
-    ph_b_ref[:], h2co3_b_ref[:] = ph[nr:], h2co3[nr:]
-    hco3_b_ref[:], co3_b_ref[:] = hco3[nr:], co3[nr:]
+    def speciate(h, out_refs):
+        ph_ref, h2co3_ref, hco3_ref, co3_ref = out_refs
+        h2 = h * h
+        k12 = coeffs.k1 * coeffs.k2
+        denom = 1.0 / (h2 + coeffs.k1 * h + k12)
+        ph_ref[:] = -jnp.log10(h)
+        h2co3_ref[:] = dic * h2 * denom * MASS_TO_VOL
+        hco3_ref[:] = dic * coeffs.k1 * h * denom * MASS_TO_VOL
+        co3_ref[:] = dic * k12 * denom * MASS_TO_VOL
+
+    if stack_dual:
+        # both scenarios in ONE stacked solve (sublane-concatenated):
+        # the while_loop runs max(iters_a, iters_b) instead of their sum
+        x1 = jnp.concatenate([jnp.exp(-ln10 * phhi_a_ref[:]),
+                              jnp.exp(-ln10 * phhi_b_ref[:])], axis=0)
+        x2 = jnp.concatenate([jnp.exp(-ln10 * phlo_a_ref[:]),
+                              jnp.exp(-ln10 * phlo_b_ref[:])], axis=0)
+        coeffs2 = type(coeffs)(*(jnp.concatenate([c, c], axis=0)
+                                 for c in coeffs))
+        dic2 = jnp.concatenate([dic, dic], axis=0)
+        ta2 = jnp.concatenate([ta, ta], axis=0)
+        pt2 = jnp.concatenate([pt, pt], axis=0)
+        sit2 = jnp.concatenate([sit, sit], axis=0)
+        h = _solve_htotal_impl(coeffs2, dic2, ta2, pt2, sit2, x1, x2)
+        nr = dic.shape[0]
+        h2 = h * h
+        k12_2 = coeffs2.k1 * coeffs2.k2
+        denom = 1.0 / (h2 + coeffs2.k1 * h + k12_2)
+        ph = -jnp.log10(h)
+        h2co3 = dic2 * h2 * denom * MASS_TO_VOL
+        hco3 = dic2 * coeffs2.k1 * h * denom * MASS_TO_VOL
+        co3 = dic2 * k12_2 * denom * MASS_TO_VOL
+        ph_a_ref[:], h2co3_a_ref[:] = ph[:nr], h2co3[:nr]
+        hco3_a_ref[:], co3_a_ref[:] = hco3[:nr], co3[:nr]
+        ph_b_ref[:], h2co3_b_ref[:] = ph[nr:], h2co3[nr:]
+        hco3_b_ref[:], co3_b_ref[:] = hco3[nr:], co3[nr:]
+    else:
+        # sequential dual: two half-size solves with the smaller working
+        # set (the strategy the cold microbenchmark favors; shared
+        # coefficients either way)
+        h_a = _solve_htotal_impl(
+            coeffs, dic, ta, pt, sit,
+            jnp.exp(-ln10 * phhi_a_ref[:]), jnp.exp(-ln10 * phlo_a_ref[:]))
+        speciate(h_a, (ph_a_ref, h2co3_a_ref, hco3_a_ref, co3_a_ref))
+        h_b = _solve_htotal_impl(
+            coeffs, dic, ta, pt, sit,
+            jnp.exp(-ln10 * phhi_b_ref[:]), jnp.exp(-ln10 * phlo_b_ref[:]))
+        speciate(h_b, (ph_b_ref, h2co3_b_ref, hco3_b_ref, co3_b_ref))
     sat_calc_ref[:], sat_arag_ref[:] = co3_sat_vals(
         depth, temp, salt, apply_pressure)
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
-def _dual_sat_padded(args_2d, block_rows, interpret):
+@functools.partial(jax.jit,
+                   static_argnames=("block_rows", "interpret",
+                                    "stack_dual"))
+def _dual_sat_padded(args_2d, block_rows, interpret, stack_dual):
     rows = args_2d[0].shape[0]
     # np.int32(0), not 0: with jax_enable_x64 the literal becomes an i64
     # scalar in the index-map mini-function, which Mosaic cannot return
@@ -111,7 +135,7 @@ def _dual_sat_padded(args_2d, block_rows, interpret):
                         memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
     return pl.pallas_call(
-        _carbonate_kernel,
+        functools.partial(_carbonate_kernel, stack_dual=stack_dual),
         grid=(rows // block_rows,),
         in_specs=[spec] * len(args_2d),
         out_specs=(spec,) * 10,
@@ -122,8 +146,8 @@ def _dual_sat_padded(args_2d, block_rows, interpret):
 
 def co3_terms_dual_sat_pallas(depth_m, temp, salt, dic, ta, pt, sit,
                               phlo_a, phhi_a, phlo_b, phhi_b,
-                              apply_pressure, *, block_rows=32,
-                              interpret=None):
+                              apply_pressure, *, block_rows=None,
+                              stack_dual=False, interpret=None):
     """Fused fp32 dual carbonate solve + saturation values, one Pallas
     kernel over all cells.
 
@@ -141,6 +165,9 @@ def co3_terms_dual_sat_pallas(depth_m, temp, salt, dic, ta, pt, sit,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if block_rows is None:
+        import os
+        block_rows = int(os.environ.get("OBGC_PALLAS_BLOCK_ROWS", "32"))
 
     named = dict(depth=depth_m, temp=temp, salt=salt, dic=dic, ta=ta,
                  pt=pt, sit=sit, phlo_a=phlo_a, phhi_a=phhi_a,
@@ -161,6 +188,7 @@ def co3_terms_dual_sat_pallas(depth_m, temp, salt, dic, ta, pt, sit,
         v = jnp.pad(v, (0, n_pad - n), constant_values=_PAD_VALUES[name])
         flat.append(v.reshape(n_pad // _LANES, _LANES))
 
-    outs = _dual_sat_padded(tuple(flat), block_rows, interpret)
+    outs = _dual_sat_padded(tuple(flat), block_rows, interpret,
+                            stack_dual)
     outs = [o.reshape(-1)[:n].reshape(shape) for o in outs]
     return tuple(outs[0:4]), tuple(outs[4:8]), tuple(outs[8:10])
