@@ -26,7 +26,7 @@ import jax
 
 
 def _throughput(device, ncol, nlev, nsteps, repeats, compute_diags,
-                dtype=None, carbonate_impl="xla"):
+                dtype=None, carbonate_impl="xla", diag_dtype=None):
     from ocean_bgc_tpu.models.coupled import step
     from ocean_bgc_tpu.params import ModelParams
     from ocean_bgc_tpu.utils.synthetic import synthetic_world
@@ -45,7 +45,8 @@ def _throughput(device, ncol, nlev, nsteps, repeats, compute_diags,
     fn = jax.jit(
         lambda s: step(s, grid, forcing, params, 3600.0,
                        compute_diags=compute_diags,
-                       carbonate_impl=carbonate_impl),
+                       carbonate_impl=carbonate_impl,
+                       diag_dtype=diag_dtype),
         donate_argnums=0)
     out, diags = fn(state)               # compile + warm up
     jax.block_until_ready(out)
@@ -233,8 +234,10 @@ def main():
     dtype = jnp.float32 if os.environ.get("BENCH_DTYPE") == "f32" else None
     device = jax.devices()[0]
     carb = os.environ.get("BENCH_CARB_IMPL", "auto")
+    ddt = (jnp.float32 if os.environ.get("BENCH_DIAG_DTYPE") == "f32"
+           else None)
     value = _throughput(device, ncol, nlev, nsteps, repeats, diags,
-                        dtype=dtype, carbonate_impl=carb)
+                        dtype=dtype, carbonate_impl=carb, diag_dtype=ddt)
 
     # host-CPU baseline (serial-Fortran stand-in): same physics, one CPU
     # device, smaller column count for wall-clock sanity
@@ -251,7 +254,8 @@ def main():
     print(json.dumps({
         "metric": f"columns_per_s_per_chip_full_coupled_step_{prec}"
                   + ("_with_diags" if diags else "")
-                  + (f"_carb_{carb}" if carb != "auto" else ""),
+                  + (f"_carb_{carb}" if carb != "auto" else "")
+                  + ("_f32diags" if ddt is not None else ""),
         "value": round(value, 2),
         "unit": "columns/s/chip (60-level, 35-tracer step)",
         "vs_baseline": round(vs_baseline, 3),

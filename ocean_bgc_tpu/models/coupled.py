@@ -100,9 +100,18 @@ def evaluate_tendencies(
     *,
     compute_diags: bool = True,
     carbonate_impl: str = "auto",
+    diag_dtype=None,
 ) -> Tuple[CoupledTendencies, Dict[str, jax.Array]]:
     """The coupled model's right-hand side: surface fluxes + all three
-    source-sink kernels, as d(state)/dt pytrees."""
+    source-sink kernels, as d(state)/dt pytrees.
+
+    ``diag_dtype``: optional dtype (e.g. ``jnp.float32``) the emitted
+    diagnostics are cast to.  All diagnostic *arithmetic* stays in the
+    state dtype; only the output arrays narrow — halving the ~155-field
+    diagnostic HBM traffic, matching how production hosts write
+    single-precision history files from a float64 model.  ``None``
+    (default) emits diagnostics in the state dtype.
+    """
 
     active = grid.active_mask()                       # (nlev, ncol)
     has_ocean = grid.kmax > 0                         # (ncol,)
@@ -156,6 +165,8 @@ def evaluate_tendencies(
         diags.update(sflux.diags)
         diags.update(dflux.diags)
         diags["netFlux"] = sflux.net_flux
+        if diag_dtype is not None:
+            diags = {k: v.astype(diag_dtype) for k, v in diags.items()}
     return tend, diags
 
 
@@ -189,12 +200,14 @@ def step(
     *,
     compute_diags: bool = True,
     carbonate_impl: str = "auto",
+    diag_dtype=None,
 ) -> Tuple[CoupledState, Dict[str, jax.Array]]:
     """One coupled forward-Euler timestep (the host models' standard
     coupling scheme). Returns (state', diagnostics)."""
     tend, diags = evaluate_tendencies(state, grid, forcing, params,
                                       compute_diags=compute_diags,
-                                      carbonate_impl=carbonate_impl)
+                                      carbonate_impl=carbonate_impl,
+                                      diag_dtype=diag_dtype)
     return apply_update(state, tend, dt), diags
 
 

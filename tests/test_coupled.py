@@ -86,3 +86,22 @@ def test_surface_flux_changes_only_top_cell():
     assert np.abs(d[0, T.O2]).max() > 0.0
     # below the surface nothing in the O2 column changed
     np.testing.assert_array_equal(d[1:, T.O2], 0.0)
+
+
+def test_diag_dtype_narrowing():
+    """diag_dtype=f32 narrows only the emitted diagnostics; the state
+    update and all diagnostic arithmetic stay in the state dtype."""
+    import jax.numpy as jnp
+
+    state, grid, forcing = synthetic_world(nlev=5, ncol=6, seed=71)
+    params = ModelParams()
+    s64, d64 = step(state, grid, forcing, params, DT)
+    s32, d32 = step(state, grid, forcing, params, DT,
+                    diag_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(s64.bgc.tracers),
+                                  np.asarray(s32.bgc.tracers))
+    assert all(v.dtype == jnp.float32 for v in d32.values())
+    for k in ("pco2surf", "photoC_TOT", "CO3"):
+        np.testing.assert_allclose(np.asarray(d32[k]),
+                                   np.asarray(d64[k]).astype(np.float32),
+                                   rtol=0, atol=0)
