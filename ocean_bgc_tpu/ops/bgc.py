@@ -80,6 +80,23 @@ class BGCSourceSinkOut:
 _LEVEL_SCAN_UNROLL = int(os.environ.get("OBGC_LEVEL_UNROLL", "4"))
 
 
+def resolve_carbonate_impl(impl: str, dtype) -> str:
+    """Resolve the carbonate-solver implementation.
+
+    "auto" -> "pallas" for float32 on a TPU backend (the fused
+    VMEM-resident kernel, 1.58x end-to-end; docs/BENCHMARKS.md), "xla"
+    everywhere else — float64 is the exact-contract path and Mosaic has
+    no f64 story; CPU/GPU have no Mosaic at all.
+    """
+    if impl == "auto":
+        return ("pallas" if (dtype == jnp.float32
+                             and jax.default_backend() == "tpu")
+                else "xla")
+    if impl not in ("xla", "pallas"):
+        raise ValueError(f"unknown carbonate_impl {impl!r}")
+    return impl
+
+
 def _safe_div(num, den):
     """num/den with den==0 mapped to 0 (guarded selects, not NaN)."""
     return jnp.where(den != 0.0, num / jnp.where(den != 0.0, den, 1.0), 0.0)
@@ -179,11 +196,8 @@ def bgc_source_sink(
     """
 
     nlev, _, ncol = tracers.shape
-    if carbonate_impl == "auto":
-        carbonate_impl = ("pallas"
-                          if (tracers.dtype == jnp.float32
-                              and jax.default_backend() == "tpu")
-                          else "xla")
+    carbonate_impl = resolve_carbonate_impl(carbonate_impl,
+                                            tracers.dtype)
     autos = params.autotrophs
     nauto = len(autos)
     active = grid.active_mask()                          # (nlev, ncol)

@@ -133,7 +133,18 @@ def _dual_sat_padded(args_2d, block_rows, interpret, stack_dual):
     spec = pl.BlockSpec((block_rows, _LANES),
                         lambda i: (i, _np.int32(0)),
                         memory_space=pltpu.VMEM)
-    shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+    # under shard_map the outputs vary over the same mesh axes as the
+    # inputs; without an explicit vma the shard_map vma check rejects
+    # the pallas_call (ShapeDtypeStruct defaults to vma=None)
+    try:
+        vma = jax.typeof(args_2d[0]).vma
+    except Exception:
+        vma = None
+    if vma:
+        shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32,
+                                     vma=vma)
+    else:
+        shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
     return pl.pallas_call(
         functools.partial(_carbonate_kernel, stack_dual=stack_dual),
         grid=(rows // block_rows,),

@@ -41,3 +41,24 @@ def test_fp32_multi_step_stable():
     trc = np.asarray(final.bgc.tracers)
     assert trc.dtype == np.float32
     assert np.isfinite(trc).all()
+
+
+def test_carbonate_impl_auto_resolution(monkeypatch):
+    """'auto' = pallas only for f32-on-TPU; f64 and CPU stay on the
+    exact-contract XLA path; unknown names rejected."""
+    import jax
+    import pytest
+
+    from ocean_bgc_tpu.ops.bgc import resolve_carbonate_impl as r
+
+    assert r("xla", jnp.float32) == "xla"
+    assert r("pallas", jnp.float32) == "pallas"
+    with pytest.raises(ValueError):
+        r("cuda", jnp.float32)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert r("auto", jnp.float32) == "pallas"
+    assert r("auto", jnp.float64) == "xla"
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert r("auto", jnp.float32) == "xla"
+    assert r("auto", jnp.float64) == "xla"

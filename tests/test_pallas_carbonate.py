@@ -83,3 +83,53 @@ def test_fp32_step_with_pallas_carbonate():
         np.testing.assert_allclose(b[:, i] / scale, a[:, i] / scale,
                                    atol=5e-4, err_msg=f"tracer {i}")
     assert out_p.bgc.tracers.dtype == jnp.float32
+
+
+def test_pallas_under_shard_map_vma():
+    """pallas_call inside shard_map needs vma-annotated out_shapes
+    (regression: the f32 TPU default broke sharded pods without it —
+    verified fixed on the real v5e chip, 2026-08-19).
+
+    TPU-only: the pallas HLO *interpreter* (the CPU stand-in) itself
+    mishandles vma inside shard_map ("Primitive mul requires varying
+    manual axes to match"), so the regression can only execute where
+    Mosaic compiles for real.
+    """
+    import numpy as np
+
+    import jax
+
+    if jax.default_backend() != "tpu":
+        import pytest
+        pytest.skip("pallas-in-shard_map executes only on TPU "
+                    "(HLO interpreter has its own vma limitation)")
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ocean_bgc_tpu.models.coupled import step
+    from ocean_bgc_tpu.parallel import make_mesh, shard_world
+    from ocean_bgc_tpu.parallel.sharding import _col_spec
+    from ocean_bgc_tpu.params import ModelParams
+    from ocean_bgc_tpu.utils.synthetic import synthetic_world
+
+    params = ModelParams()
+    state, grid, forcing = synthetic_world(nlev=3, ncol=16, seed=9,
+                                           ragged=False,
+                                           dtype=jnp.float32)
+    mesh = make_mesh(jax.devices()[:2])
+    sstate, sgrid, sforcing = shard_world(state, grid, forcing, mesh)
+
+    def local(s, g, f):
+        out, _ = step(s, g, f, params, 3600.0, compute_diags=False,
+                      carbonate_impl="pallas")
+        return out
+
+    specs = jax.tree.map(_col_spec, (state, grid, forcing))
+    fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=specs,
+                               out_specs=specs[0]))
+    out = fn(sstate, sgrid, sforcing)
+    ref, _ = step(state, grid, forcing, params, 3600.0,
+                  compute_diags=False, carbonate_impl="pallas")
+    np.testing.assert_allclose(np.asarray(out.bgc.tracers),
+                               np.asarray(ref.bgc.tracers),
+                               rtol=2e-5, atol=1e-6)
