@@ -37,13 +37,21 @@ level dimension is *parallel* everywhere the physics allows it:
 
 Everything is masked by the per-column active-level count, so ragged
 ocean depth costs no control flow.
+
+The batched per-cell physics lives in two shared, schedule-agnostic
+functions — :func:`ecosystem_kinetics` (uptake/photosynthesis/grazing/
+DOM, BGC_mod.F90:826-1529) and :func:`assemble_tendencies` (the tracer
+tendency expressions, BGC_mod.F90:1545-1790) — called both by the XLA
+path here and by the fused whole-column Pallas kernel
+(:mod:`ocean_bgc_tpu.ops.pallas_step`), so there is a single source of
+truth for every formula; only the scheduling differs.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Dict, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -102,7 +110,7 @@ def _safe_div(num, den):
     return jnp.where(den != 0.0, num / jnp.where(den != 0.0, den, 1.0), 0.0)
 
 
-def _par_field(par_surf, total_chl, dz, active):
+def _par_field(par_surf_row, total_chl, dz, active):
     """PAR at the top/average/absorption of every cell, in one shot.
 
     The reference attenuates PAR sequentially down the column
@@ -113,6 +121,8 @@ def _par_field(par_surf, total_chl, dz, active):
         PAR_in(k) = PAR_surf * prod_{j<k, active} exp(-KPARdz(j)),
     i.e. an exclusive cumulative product over levels — evaluated here as
     one ``cumprod`` instead of a scan, making the level axis parallel.
+
+    ``par_surf_row`` is (1, ncol) (broadcasts against (nlev, ncol)).
     """
     chl = jnp.maximum(total_chl, 0.02)
     kpar = jnp.where(chl < 0.13224,
@@ -124,7 +134,7 @@ def _par_field(par_surf, total_chl, dz, active):
     att_eff = jnp.where(active, att, 1.0)
     cum = jnp.cumprod(att_eff, axis=0)
     ones = jnp.ones_like(cum[:1])
-    par_in = par_surf[None, :] * jnp.concatenate([ones, cum[:-1]], axis=0)
+    par_in = par_surf_row * jnp.concatenate([ones, cum[:-1]], axis=0)
     par_out = par_in * att
     par_avg = par_in * (1.0 - att) / kpar_dz
     return par_in, par_out, par_avg, kpar_dz
@@ -169,69 +179,107 @@ def _zsat_search(anom, center, prev_center, bottom, active, kmax):
     return jnp.where(kmax > 0, zs, 0.0)
 
 
-def bgc_source_sink(
-    tracers: jax.Array,        # (nlev, 30, ncol)
-    grid: ColumnGrid,
-    forcing: BGCForcing,
-    ph_prev_3d: jax.Array,     # (nlev, ncol)
-    ph_prev_alt_3d: jax.Array,
+class EcosystemKinetics(NamedTuple):
+    """Everything the batched per-cell ecosystem algebra produces that the
+    sinking scan, the tendency assembly, or the diagnostics consume.
+
+    ``(nlev, ncol)`` arrays, except the per-autotroph tuples (length
+    nauto, entries ``None`` where the trait does not apply — mirroring
+    the reference's ``Si_ind == 0`` sentinels)."""
+
+    # PAR field (BGC_mod.F90:907-924)
+    par_in: jax.Array
+    par_out: jax.Array
+    par_avg: jax.Array
+    kpar_dz: jax.Array
+    # zooplankton (BGC_mod.F90:1395-1415)
+    zoo_loss: jax.Array
+    zoo_loss_doc: jax.Array
+    zoo_loss_dic: jax.Array
+    # DOM production / remineralization (BGC_mod.F90:1421-1461)
+    doc_prod: jax.Array
+    don_prod: jax.Array
+    dop_prod: jax.Array
+    dofe_prod: jax.Array
+    doc_remin: jax.Array
+    don_remin: jax.Array
+    dofe_remin: jax.Array
+    dop_remin: jax.Array
+    donr_remin: jax.Array
+    dopr_remin: jax.Array
+    # particulate sources (BGC_mod.F90:1467-1529)
+    poc_prod: jax.Array
+    caco3_prod: jax.Array
+    sio2_prod: jax.Array
+    fe_prod_base: jax.Array
+    # per-autotroph tuples
+    a_chl: tuple
+    thetaC: tuple
+    qfe: tuple
+    qsi: tuple
+    qcaco3: tuple
+    vno3: tuple
+    vnh4: tuple
+    vntot: tuple
+    no3_v: tuple
+    nh4_v: tuple
+    po4_v: tuple
+    dop_v: tuple
+    photoC: tuple
+    photoFe: tuple
+    photoSi: tuple
+    photoacc: tuple
+    caco3_prod_g: tuple
+    auto_graze: tuple
+    auto_loss: tuple
+    auto_agg: tuple
+    graze_zoo: tuple
+    graze_poc: tuple
+    graze_doc: tuple
+    graze_dic: tuple
+    loss_poc_g: tuple
+    loss_doc_g: tuple
+    loss_dic_g: tuple
+    nfix: tuple
+    nexcrete: tuple
+    rem_p_dop: tuple
+    rem_p_dip: tuple
+    d_n_lim: tuple
+    d_fe_lim: tuple
+    d_p_lim: tuple
+    d_si_lim: tuple
+    d_light: tuple
+
+
+def ecosystem_kinetics(
+    tr: jax.Array,             # (nlev, 30, ncol), already clipped >= 0
+    temp: jax.Array,           # (nlev, ncol)
+    dz: jax.Array,             # (nlev, ncol) cm
+    center: jax.Array,         # (nlev, ncol) cm
+    active: jax.Array,         # (nlev, ncol) bool
+    lat: jax.Array,            # broadcasts against (nlev, ncol); degrees
+    par_surf_row: jax.Array,   # (1, ncol)
     params: BGCParams,
     *,
-    compute_diags: bool = True,
-    carbonate_impl: str = "auto",
-) -> BGCSourceSinkOut:
-    """Tendencies (1/s units of each tracer) + updated pH state + diags.
+    par_field_fn=_par_field,
+) -> EcosystemKinetics:
+    """The batched per-cell ecosystem algebra (BGC_mod.F90:826-1529):
+    quota ratios, PAR, nutrient uptake, photosynthesis, grazing,
+    zooplankton, DOM cycling, and the particulate production terms.
 
-    ``carbonate_impl``:
-
-    * "auto" (default) — "pallas" for float32 on a TPU backend (the
-      fused VMEM-resident kernel is 1.58x faster end-to-end, measured
-      at the flagship config; docs/BENCHMARKS.md round 2), "xla"
-      everywhere else (float64 = the exact-contract path; CPU has no
-      Mosaic).
-    * "xla" — the batched masked-while_loop solve (bit-compared to the
-      oracle; always the f64 path).
-    * "pallas" — force the fused fp32 kernel
-      (ops/pallas_carbonate.py; single precision only).
+    Pure elementwise/broadcast math over ``(nlev, ncol)`` — no scans, no
+    gathers — so the same code traces inside the fused Pallas step kernel
+    (``par_field_fn`` swaps the cumprod PAR closed form for the MXU
+    triangular-matmul variant there).
     """
-
-    nlev, _, ncol = tracers.shape
-    carbonate_impl = resolve_carbonate_impl(carbonate_impl,
-                                            tracers.dtype)
     autos = params.autotrophs
     nauto = len(autos)
-    active = grid.active_mask()                          # (nlev, ncol)
-    lat = grid.latitude                                  # (ncol,)
     north = lat >= 0.0
 
-    # setup loop: clip negative tracers (BGC_mod.F90:747-785)
-    trc = jnp.maximum(tracers, 0.0)
-
-    # surface initializations (BGC_mod.F90:808-814)
-    dust_flux_in = jnp.maximum(forcing.dust_flux_in, 0.0)
-    par_surf = jnp.maximum(forcing.shortwave_surface, 0.0) * c.F_QSW_PAR
-
-    temp = forcing.potential_temperature                 # (nlev, ncol)
-    salt = forcing.salinity
-    dz = grid.cell_thickness
-    center = grid.cell_center_depth
-    bottom = grid.cell_bottom_depth
-
-    k_index = jnp.arange(nlev)
-    is_bottom = (k_index[:, None] + 1) == grid.kmax[None, :]
-    zrow = jnp.zeros((1, ncol), center.dtype)
-    prev_center = jnp.concatenate([zrow, center[:-1]], axis=0)
-    prev_bottom = jnp.concatenate([zrow, bottom[:-1]], axis=0)
-
-    tr = trc                                             # (nlev, 30, ncol)
-    dic = tr[:, T.DIC]
-    alk = tr[:, T.ALK]
-    po4 = tr[:, T.PO4]
     no3 = tr[:, T.NO3]
     sio3 = tr[:, T.SIO3]
     nh4 = tr[:, T.NH4]
     fe = tr[:, T.FE]
-    o2 = tr[:, T.O2]
     doc = tr[:, T.DOC]
     zooC = tr[:, T.ZOOC]
     don = tr[:, T.DON]
@@ -239,57 +287,7 @@ def bgc_source_sink(
     dop = tr[:, T.DOP]
     dopr = tr[:, T.DOPR]
     donr = tr[:, T.DONR]
-
-    # ------------------------------------------------------------------
-    # Carbonate chemistry for ALL cells at once: the pH solve depends
-    # only on per-cell state, so batching it over (nlev x ncol) lanes
-    # collapses the sequential solver depth from nlev*iterations to one
-    # masked while_loop — identical per-cell results (lanes freeze on
-    # their own convergence), ~nlev-fold less serial latency on TPU.
-    # ------------------------------------------------------------------
-    depth_m = center * 0.01
-    subsurface = (k_index > 0)[:, None]
-    # benign stand-ins below the ocean floor keep the solver converging
-    dic_s = jnp.where(active, dic, 2000.0)
-    alk_s = jnp.where(active, alk, 2300.0)
-    temp_s = jnp.where(active, temp, 10.0)
-    salt_s = jnp.where(active, salt, 35.0)
-
-    phlo = jnp.where(ph_prev_3d != 0.0, ph_prev_3d - c.DEL_PH,
-                     c.PHLO_3D_INIT)
-    phhi = jnp.where(ph_prev_3d != 0.0, ph_prev_3d + c.DEL_PH,
-                     c.PHHI_3D_INIT)
-    phlo_alt = jnp.where(ph_prev_alt_3d != 0.0,
-                         ph_prev_alt_3d - c.DEL_PH, c.PHLO_3D_INIT)
-    phhi_alt = jnp.where(ph_prev_alt_3d != 0.0,
-                         ph_prev_alt_3d + c.DEL_PH, c.PHHI_3D_INIT)
-    # ambient + ALT_CO2 solves of the same cell (the reference's two
-    # comp_CO3terms calls, BGC_mod.F90:952-978) share coefficients
-    if carbonate_impl == "pallas":
-        from ocean_bgc_tpu.ops.pallas_carbonate import (
-            co3_terms_dual_sat_pallas)
-        ((ph_3d, h2co3, hco3, co3),
-         (ph_3d_alt, h2co3_alt, hco3_alt, co3_alt),
-         (co3_sat_calc, co3_sat_arag)) = co3_terms_dual_sat_pallas(
-            depth_m, temp_s, salt_s, dic_s, alk_s, po4, sio3,
-            phlo, phhi, phlo_alt, phhi_alt,
-            jnp.broadcast_to(subsurface, dic_s.shape))
-        dt = tracers.dtype
-        (ph_3d, h2co3, hco3, co3, ph_3d_alt, h2co3_alt, hco3_alt,
-         co3_alt, co3_sat_calc, co3_sat_arag) = (
-            x.astype(dt) for x in
-            (ph_3d, h2co3, hco3, co3, ph_3d_alt, h2co3_alt, hco3_alt,
-             co3_alt, co3_sat_calc, co3_sat_arag))
-    else:
-        ((ph_3d, h2co3, hco3, co3),
-         (ph_3d_alt, h2co3_alt, hco3_alt, co3_alt)) = co3_terms_dual(
-            depth_m, temp_s, salt_s, dic_s, alk_s, po4, sio3,
-            phlo, phhi, phlo_alt, phhi_alt, subsurface)
-        co3_sat_calc, co3_sat_arag = co3_sat_vals(
-            depth_m, temp_s, salt_s, subsurface)
-
-    ph_new = jnp.where(active, ph_3d, ph_prev_3d)
-    ph_alt_new = jnp.where(active, ph_3d_alt, ph_prev_alt_3d)
+    po4 = tr[:, T.PO4]
 
     # ---- zero-mask coupled phyto pools (BGC_mod.F90:826-844) ----
     a_chl, a_c, a_fe, a_si, a_caco3 = [], [], [], [], []
@@ -350,16 +348,8 @@ def bgc_source_sink(
 
     # ---- PAR attenuation, whole column at once (BGC_mod.F90:907-924) --
     total_chl = sum(a_chl)
-    par_in, par_out, par_avg, kpar_dz = _par_field(
-        par_surf, total_chl, dz, active)
-
-    # ---- saturation-depth search (BGC_mod.F90:1003-1032) ----
-    calc_anom = co3 - co3_sat_calc
-    arag_anom = co3 - co3_sat_arag
-    zsatcalc = _zsat_search(calc_anom, center, prev_center, bottom,
-                            active, grid.kmax)
-    zsatarag = _zsat_search(arag_anom, center, prev_center, bottom,
-                            active, grid.kmax)
+    par_in, par_out, par_avg, kpar_dz = par_field_fn(
+        par_surf_row, total_chl, dz, active)
 
     # ---- temperature response (BGC_mod.F90:1041) ----
     tfunc = c.Q_10 ** ((temp - c.TREF) / 10.0)
@@ -619,11 +609,364 @@ def bgc_source_sink(
 
     # iron production *except* scavenging, which scales with the sinking
     # mass flux entering each level (BGC_mod.F90:1510-1522) and is
-    # therefore evaluated inside the sinking scan below
+    # therefore evaluated inside the sinking recurrence
     fe_prod_base = zoo_loss * f_zoo_detr * c.QFE_ZOO
     for g in range(nauto):
         fe_prod_base = fe_prod_base + qfe[g] * (auto_agg[g] + graze_poc[g]
                                                 + loss_poc_g[g])
+
+    return EcosystemKinetics(
+        par_in=par_in, par_out=par_out, par_avg=par_avg, kpar_dz=kpar_dz,
+        zoo_loss=zoo_loss, zoo_loss_doc=zoo_loss_doc,
+        zoo_loss_dic=zoo_loss_dic,
+        doc_prod=doc_prod, don_prod=don_prod, dop_prod=dop_prod,
+        dofe_prod=dofe_prod,
+        doc_remin=doc_remin, don_remin=don_remin, dofe_remin=dofe_remin,
+        dop_remin=dop_remin, donr_remin=donr_remin,
+        dopr_remin=dopr_remin,
+        poc_prod=poc_prod, caco3_prod=caco3_prod, sio2_prod=sio2_prod,
+        fe_prod_base=fe_prod_base,
+        a_chl=tuple(a_chl), thetaC=tuple(thetaC), qfe=tuple(qfe),
+        qsi=tuple(qsi), qcaco3=tuple(qcaco3),
+        vno3=tuple(vno3), vnh4=tuple(vnh4), vntot=tuple(vntot),
+        no3_v=tuple(no3_v), nh4_v=tuple(nh4_v), po4_v=tuple(po4_v),
+        dop_v=tuple(dop_v),
+        photoC=tuple(photoC), photoFe=tuple(photoFe),
+        photoSi=tuple(photoSi), photoacc=tuple(photoacc),
+        caco3_prod_g=tuple(caco3_prod_g),
+        auto_graze=tuple(auto_graze), auto_loss=tuple(auto_loss),
+        auto_agg=tuple(auto_agg),
+        graze_zoo=tuple(graze_zoo), graze_poc=tuple(graze_poc),
+        graze_doc=tuple(graze_doc), graze_dic=tuple(graze_dic),
+        loss_poc_g=tuple(loss_poc_g), loss_doc_g=tuple(loss_doc_g),
+        loss_dic_g=tuple(loss_dic_g),
+        nfix=tuple(nfix), nexcrete=tuple(nexcrete),
+        rem_p_dop=tuple(rem_p_dop), rem_p_dip=tuple(rem_p_dip),
+        d_n_lim=tuple(d_n_lim), d_fe_lim=tuple(d_fe_lim),
+        d_p_lim=tuple(d_p_lim), d_si_lim=tuple(d_si_lim),
+        d_light=tuple(d_light),
+    )
+
+
+class AssemblyExtras(NamedTuple):
+    """Intermediates of the tendency assembly that the diagnostics also
+    report (BGC_mod.F90:1545-1592, 1765-1790)."""
+
+    nitrif: jax.Array
+    denitrif: jax.Array
+    o2_production: jax.Array
+    o2_consumption: jax.Array
+
+
+def assemble_tendencies(
+    kin: EcosystemKinetics,
+    pt,                        # ParticleProdOut / ParticleLevelOut
+    fe_scavenge: jax.Array,
+    tr: jax.Array,             # (nlev, 30, ncol), clipped
+    restore_no3: jax.Array,
+    restore_sio3: jax.Array,
+    restore_po4: jax.Array,
+    params: BGCParams,
+) -> Tuple[List[jax.Array], AssemblyExtras]:
+    """The 30 tracer tendency expressions (BGC_mod.F90:1545-1790), from
+    the kinetics terms and the stacked particulate-scan outputs.  Returns
+    the *unmasked* per-tracer list (callers mask by ``active`` and choose
+    the output layout) plus the extras diagnostics report."""
+    autos = params.autotrophs
+    nauto = len(autos)
+
+    no3 = tr[:, T.NO3]
+    nh4 = tr[:, T.NH4]
+    o2 = tr[:, T.O2]
+
+    # ---- nitrate & ammonium (BGC_mod.F90:1545-1592) ----
+    nitrif = params.parm_kappa_nitrif * nh4
+    par_out_safe = jnp.maximum(kin.par_out, 1e-300)
+    taper = (jnp.log(par_out_safe / params.parm_nitrif_par_lim)
+             / (-kin.kpar_dz))
+    nitrif = jnp.where(kin.par_in > params.parm_nitrif_par_lim,
+                       nitrif * taper, nitrif)
+    nitrif = jnp.where(kin.par_out < params.parm_nitrif_par_lim,
+                       nitrif, 0.0)
+
+    denitrif_fac = jnp.clip(
+        ((params.parm_o2_min + params.parm_o2_min_delta) - o2)
+        / params.parm_o2_min_delta, 0.0, 1.0)
+    denitrif_fac = jnp.where(no3 == 0.0, 0.0, denitrif_fac)
+    denitrif = denitrif_fac * (
+        (kin.doc_remin + pt.poc_remin - pt.other_remin) / c.DENITRIF_C_N
+        - pt.sed_denitrif)
+
+    tend = [None] * T.CNT
+    tend[T.NO3] = (restore_no3 + nitrif - denitrif - pt.sed_denitrif
+                   - sum(kin.no3_v))
+    tend[T.NH4] = (-sum(kin.nh4_v) - nitrif + kin.don_remin
+                   + kin.donr_remin
+                   + c.Q * (kin.zoo_loss_dic + sum(kin.loss_dic_g)
+                            + sum(kin.graze_dic)
+                            + pt.poc_remin * (1.0 - c.DONREFRACT)))
+    for g, au in enumerate(autos):
+        if au.nfixer:
+            tend[T.NH4] = tend[T.NH4] + kin.nexcrete[g]
+
+    # ---- dissolved iron (BGC_mod.F90:1598-1605) ----
+    tend[T.FE] = (pt.fe_remin + c.QFE_ZOO * kin.zoo_loss_dic
+                  + kin.dofe_remin - sum(kin.photoFe) - fe_scavenge)
+    for g in range(nauto):
+        tend[T.FE] = (tend[T.FE]
+                      + kin.qfe[g] * (kin.loss_dic_g[g]
+                                      + kin.graze_dic[g])
+                      + kin.graze_zoo[g] * (kin.qfe[g] - c.QFE_ZOO))
+
+    # ---- dissolved SiO3 (BGC_mod.F90:1611-1628) ----
+    tend[T.SIO3] = restore_sio3 + pt.sio2_remin
+    for g, au in enumerate(autos):
+        if au.has_si:
+            tend[T.SIO3] = (tend[T.SIO3] - kin.photoSi[g]
+                            + kin.qsi[g] * (c.F_GRAZE_SI_REMIN
+                                            * kin.auto_graze[g]
+                                            + (1.0 - au.loss_poc)
+                                            * kin.auto_loss[g]))
+
+    # ---- phosphate (BGC_mod.F90:1634-1661) ----
+    tend[T.PO4] = (restore_po4 + kin.dop_remin + kin.dopr_remin
+                   - sum(kin.po4_v)
+                   + c.QP_ZOO_POM * ((1.0 - c.DOPREFRACT) * pt.poc_remin
+                                     + kin.zoo_loss_dic))
+    for g, au in enumerate(autos):
+        if au.Qp == c.QP_ZOO_POM:
+            tend[T.PO4] = tend[T.PO4] + au.Qp * (kin.loss_dic_g[g]
+                                                 + kin.graze_dic[g])
+        else:
+            tend[T.PO4] = tend[T.PO4] + kin.rem_p_dip[g]
+
+    # ---- autotroph pools (BGC_mod.F90:1676-1697) ----
+    for g, au in enumerate(autos):
+        wloss = kin.auto_graze[g] + kin.auto_loss[g] + kin.auto_agg[g]
+        tend[T.C_IND[g]] = kin.photoC[g] - wloss
+        tend[T.CHL_IND[g]] = kin.photoacc[g] - kin.thetaC[g] * wloss
+        tend[T.FE_IND[g]] = kin.photoFe[g] - kin.qfe[g] * wloss
+        if T.SI_IND[g] is not None:
+            tend[T.SI_IND[g]] = kin.photoSi[g] - kin.qsi[g] * wloss
+        if T.CACO3_IND[g] is not None:
+            tend[T.CACO3_IND[g]] = (kin.caco3_prod_g[g]
+                                    - kin.qcaco3[g] * wloss)
+
+    # ---- zooC & DOM pools (BGC_mod.F90:1703-1723) ----
+    tend[T.ZOOC] = sum(kin.graze_zoo) - kin.zoo_loss
+    tend[T.DOC] = kin.doc_prod - kin.doc_remin
+    tend[T.DON] = kin.don_prod * (1.0 - c.DONREFRACT) - kin.don_remin
+    tend[T.DONR] = (kin.don_prod * c.DONREFRACT - kin.donr_remin
+                    + pt.poc_remin * c.DONREFRACT * c.Q)
+    tend[T.DOP] = (kin.dop_prod * (1.0 - c.DOPREFRACT) - kin.dop_remin
+                   - sum(kin.dop_v))
+    tend[T.DOPR] = (kin.dop_prod * c.DOPREFRACT - kin.dopr_remin
+                    + pt.poc_remin * c.DOPREFRACT * c.QP_ZOO_POM)
+    tend[T.DOFE] = kin.dofe_prod - kin.dofe_remin
+
+    # ---- DIC (BGC_mod.F90:1729-1745) ----
+    tend[T.DIC] = (sum(kin.loss_dic_g) + sum(kin.graze_dic)
+                   - sum(kin.photoC)
+                   + kin.doc_remin + pt.poc_remin + kin.zoo_loss_dic
+                   + pt.caco3_remin)
+    for g, au in enumerate(autos):
+        if T.CACO3_IND[g] is not None:
+            tend[T.DIC] = (tend[T.DIC]
+                           + c.F_GRAZE_CACO3_REMIN * kin.auto_graze[g]
+                           * kin.qcaco3[g] - kin.caco3_prod_g[g])
+    if params.alt_co2_use_eco:
+        tend[T.DIC_ALT_CO2] = tend[T.DIC]
+    else:
+        tend[T.DIC_ALT_CO2] = jnp.zeros_like(tend[T.DIC])
+
+    # ---- alkalinity (BGC_mod.F90:1751-1759) ----
+    tend[T.ALK] = (-tend[T.NO3] + tend[T.NH4]
+                   + 2.0 * pt.caco3_remin)
+    for g, au in enumerate(autos):
+        if T.CACO3_IND[g] is not None:
+            tend[T.ALK] = (tend[T.ALK]
+                           + 2.0 * (c.F_GRAZE_CACO3_REMIN
+                                    * kin.auto_graze[g] * kin.qcaco3[g]
+                                    - kin.caco3_prod_g[g]))
+
+    # ---- oxygen (BGC_mod.F90:1765-1790) ----
+    o2_production = jnp.zeros_like(o2)
+    for g, au in enumerate(autos):
+        if not au.nfixer:
+            denom = kin.no3_v[g] + kin.nh4_v[g]
+            contrib = kin.photoC[g] * (
+                _safe_div(kin.no3_v[g], denom) / c.PARM_RED_D_C_O2
+                + _safe_div(kin.nh4_v[g], denom) / c.PARM_REMIN_D_C_O2)
+        else:
+            denom = kin.no3_v[g] + kin.nh4_v[g] + kin.nfix[g]
+            contrib = kin.photoC[g] * (
+                _safe_div(kin.no3_v[g], denom) / c.PARM_RED_D_C_O2
+                + _safe_div(kin.nh4_v[g], denom) / c.PARM_REMIN_D_C_O2
+                + _safe_div(kin.nfix[g], denom) / c.PARM_RED_D_C_O2_DIAZ)
+        o2_production = o2_production + jnp.where(kin.photoC[g] > 0.0,
+                                                  contrib, 0.0)
+
+    o2_fac = jnp.clip((o2 - params.parm_o2_min)
+                      / params.parm_o2_min_delta, 0.0, 1.0)
+    o2_consumption = o2_fac * (
+        (pt.poc_remin + kin.doc_remin
+         - pt.sed_denitrif * c.DENITRIF_C_N - pt.other_remin
+         + kin.zoo_loss_dic + sum(kin.loss_dic_g) + sum(kin.graze_dic))
+        / c.PARM_REMIN_D_C_O2 + 2.0 * nitrif)
+    tend[T.O2] = o2_production - o2_consumption
+
+    return tend, AssemblyExtras(
+        nitrif=nitrif, denitrif=denitrif,
+        o2_production=o2_production, o2_consumption=o2_consumption)
+
+
+def compute_restoring(forcing: BGCForcing, tr: jax.Array,
+                      params: BGCParams):
+    """The optional nutrient-restoring terms (BGC_mod.F90:1545-1547,
+    1611-1613, 1634-1636), gated on the static ``lrest_*`` flags."""
+    no3 = tr[:, T.NO3]
+    sio3 = tr[:, T.SIO3]
+    po4 = tr[:, T.PO4]
+    if params.lrest_no3:
+        restore_no3 = forcing.nutr_restore_rtau * (forcing.no3_clim - no3)
+    else:
+        restore_no3 = jnp.zeros_like(no3)
+    if params.lrest_sio3:
+        restore_sio3 = forcing.nutr_restore_rtau * (forcing.sio3_clim
+                                                    - sio3)
+    else:
+        restore_sio3 = jnp.zeros_like(sio3)
+    if params.lrest_po4:
+        restore_po4 = forcing.nutr_restore_rtau * (forcing.po4_clim - po4)
+    else:
+        restore_po4 = jnp.zeros_like(po4)
+    return restore_no3, restore_sio3, restore_po4
+
+
+def bgc_source_sink(
+    tracers: jax.Array,        # (nlev, 30, ncol)
+    grid: ColumnGrid,
+    forcing: BGCForcing,
+    ph_prev_3d: jax.Array,     # (nlev, ncol)
+    ph_prev_alt_3d: jax.Array,
+    params: BGCParams,
+    *,
+    compute_diags: bool = True,
+    carbonate_impl: str = "auto",
+) -> BGCSourceSinkOut:
+    """Tendencies (1/s units of each tracer) + updated pH state + diags.
+
+    ``carbonate_impl``:
+
+    * "auto" (default) — "pallas" for float32 on a TPU backend (the
+      fused VMEM-resident kernel is 1.58x faster end-to-end, measured
+      at the flagship config; docs/BENCHMARKS.md round 2), "xla"
+      everywhere else (float64 = the exact-contract path; CPU has no
+      Mosaic).
+    * "xla" — the batched masked-while_loop solve (bit-compared to the
+      oracle; always the f64 path).
+    * "pallas" — force the fused fp32 kernel
+      (ops/pallas_carbonate.py; single precision only).
+    """
+
+    nlev, _, ncol = tracers.shape
+    carbonate_impl = resolve_carbonate_impl(carbonate_impl,
+                                            tracers.dtype)
+    autos = params.autotrophs
+    nauto = len(autos)
+    active = grid.active_mask()                          # (nlev, ncol)
+    lat = grid.latitude                                  # (ncol,)
+
+    # setup loop: clip negative tracers (BGC_mod.F90:747-785)
+    trc = jnp.maximum(tracers, 0.0)
+
+    # surface initializations (BGC_mod.F90:808-814)
+    dust_flux_in = jnp.maximum(forcing.dust_flux_in, 0.0)
+    par_surf = jnp.maximum(forcing.shortwave_surface, 0.0) * c.F_QSW_PAR
+
+    temp = forcing.potential_temperature                 # (nlev, ncol)
+    salt = forcing.salinity
+    dz = grid.cell_thickness
+    center = grid.cell_center_depth
+    bottom = grid.cell_bottom_depth
+
+    k_index = jnp.arange(nlev)
+    is_bottom = (k_index[:, None] + 1) == grid.kmax[None, :]
+    zrow = jnp.zeros((1, ncol), center.dtype)
+    prev_center = jnp.concatenate([zrow, center[:-1]], axis=0)
+    prev_bottom = jnp.concatenate([zrow, bottom[:-1]], axis=0)
+
+    tr = trc                                             # (nlev, 30, ncol)
+    dic = tr[:, T.DIC]
+    alk = tr[:, T.ALK]
+    po4 = tr[:, T.PO4]
+    no3 = tr[:, T.NO3]
+    sio3 = tr[:, T.SIO3]
+    fe = tr[:, T.FE]
+    o2 = tr[:, T.O2]
+
+    # ------------------------------------------------------------------
+    # Carbonate chemistry for ALL cells at once: the pH solve depends
+    # only on per-cell state, so batching it over (nlev x ncol) lanes
+    # collapses the sequential solver depth from nlev*iterations to one
+    # masked while_loop — identical per-cell results (lanes freeze on
+    # their own convergence), ~nlev-fold less serial latency on TPU.
+    # ------------------------------------------------------------------
+    depth_m = center * 0.01
+    subsurface = (k_index > 0)[:, None]
+    # benign stand-ins below the ocean floor keep the solver converging
+    dic_s = jnp.where(active, dic, 2000.0)
+    alk_s = jnp.where(active, alk, 2300.0)
+    temp_s = jnp.where(active, temp, 10.0)
+    salt_s = jnp.where(active, salt, 35.0)
+
+    phlo = jnp.where(ph_prev_3d != 0.0, ph_prev_3d - c.DEL_PH,
+                     c.PHLO_3D_INIT)
+    phhi = jnp.where(ph_prev_3d != 0.0, ph_prev_3d + c.DEL_PH,
+                     c.PHHI_3D_INIT)
+    phlo_alt = jnp.where(ph_prev_alt_3d != 0.0,
+                         ph_prev_alt_3d - c.DEL_PH, c.PHLO_3D_INIT)
+    phhi_alt = jnp.where(ph_prev_alt_3d != 0.0,
+                         ph_prev_alt_3d + c.DEL_PH, c.PHHI_3D_INIT)
+    # ambient + ALT_CO2 solves of the same cell (the reference's two
+    # comp_CO3terms calls, BGC_mod.F90:952-978) share coefficients
+    if carbonate_impl == "pallas":
+        from ocean_bgc_tpu.ops.pallas_carbonate import (
+            co3_terms_dual_sat_pallas)
+        ((ph_3d, h2co3, hco3, co3),
+         (ph_3d_alt, h2co3_alt, hco3_alt, co3_alt),
+         (co3_sat_calc, co3_sat_arag)) = co3_terms_dual_sat_pallas(
+            depth_m, temp_s, salt_s, dic_s, alk_s, po4, sio3,
+            phlo, phhi, phlo_alt, phhi_alt,
+            jnp.broadcast_to(subsurface, dic_s.shape))
+        dt = tracers.dtype
+        (ph_3d, h2co3, hco3, co3, ph_3d_alt, h2co3_alt, hco3_alt,
+         co3_alt, co3_sat_calc, co3_sat_arag) = (
+            x.astype(dt) for x in
+            (ph_3d, h2co3, hco3, co3, ph_3d_alt, h2co3_alt, hco3_alt,
+             co3_alt, co3_sat_calc, co3_sat_arag))
+    else:
+        ((ph_3d, h2co3, hco3, co3),
+         (ph_3d_alt, h2co3_alt, hco3_alt, co3_alt)) = co3_terms_dual(
+            depth_m, temp_s, salt_s, dic_s, alk_s, po4, sio3,
+            phlo, phhi, phlo_alt, phhi_alt, subsurface)
+        co3_sat_calc, co3_sat_arag = co3_sat_vals(
+            depth_m, temp_s, salt_s, subsurface)
+
+    ph_new = jnp.where(active, ph_3d, ph_prev_3d)
+    ph_alt_new = jnp.where(active, ph_3d_alt, ph_prev_alt_3d)
+
+    # ---- saturation-depth search (BGC_mod.F90:1003-1032) ----
+    calc_anom = co3 - co3_sat_calc
+    arag_anom = co3 - co3_sat_arag
+    zsatcalc = _zsat_search(calc_anom, center, prev_center, bottom,
+                            active, grid.kmax)
+    zsatarag = _zsat_search(arag_anom, center, prev_center, bottom,
+                            active, grid.kmax)
+
+    # ---- the batched ecosystem kinetics (BGC_mod.F90:826-1529) ----
+    kin = ecosystem_kinetics(tr, temp, dz, center, active, lat,
+                             par_surf[None, :], params)
 
     # ------------------------------------------------------------------
     # Sinking-particle recurrence — the ONLY remaining sequential level
@@ -634,8 +977,9 @@ def bgc_source_sink(
     particle0 = init_particle_carry(dust_flux_in)
 
     scan_xs = dict(
-        poc_prod=poc_prod, caco3_prod=caco3_prod, sio2_prod=sio2_prod,
-        fe_prod_base=fe_prod_base, fe=fe, temp=temp, o2=o2, no3=no3,
+        poc_prod=kin.poc_prod, caco3_prod=kin.caco3_prod,
+        sio2_prod=kin.sio2_prod, fe_prod_base=kin.fe_prod_base,
+        fe=fe, temp=temp, o2=o2, no3=no3,
         dz=dz, bottom=bottom, fesedflux=forcing.fesedflux,
         is_bottom=is_bottom, active=active,
     )
@@ -686,153 +1030,14 @@ def bgc_source_sink(
     # pt fields and fe_scavenge are now stacked (nlev, ncol) arrays;
     # everything below is batched again.
 
-    fe_prod = fe_prod_base + fe_scavenge
+    fe_prod = kin.fe_prod_base + fe_scavenge
 
-    # ---- nitrate & ammonium (BGC_mod.F90:1545-1592) ----
-    if params.lrest_no3:
-        restore_no3 = forcing.nutr_restore_rtau * (forcing.no3_clim - no3)
-    else:
-        restore_no3 = jnp.zeros_like(no3)
-
-    nitrif = params.parm_kappa_nitrif * nh4
-    par_out_safe = jnp.maximum(par_out, 1e-300)
-    taper = (jnp.log(par_out_safe / params.parm_nitrif_par_lim)
-             / (-kpar_dz))
-    nitrif = jnp.where(par_in > params.parm_nitrif_par_lim,
-                       nitrif * taper, nitrif)
-    nitrif = jnp.where(par_out < params.parm_nitrif_par_lim,
-                       nitrif, 0.0)
-
-    denitrif_fac = jnp.clip(
-        ((params.parm_o2_min + params.parm_o2_min_delta) - o2)
-        / params.parm_o2_min_delta, 0.0, 1.0)
-    denitrif_fac = jnp.where(no3 == 0.0, 0.0, denitrif_fac)
-    denitrif = denitrif_fac * (
-        (doc_remin + pt.poc_remin - pt.other_remin) / c.DENITRIF_C_N
-        - pt.sed_denitrif)
-
-    tend = [None] * T.CNT
-    tend[T.NO3] = (restore_no3 + nitrif - denitrif - pt.sed_denitrif
-                   - sum(no3_v))
-    tend[T.NH4] = (-sum(nh4_v) - nitrif + don_remin + donr_remin
-                   + c.Q * (zoo_loss_dic + sum(loss_dic_g)
-                            + sum(graze_dic)
-                            + pt.poc_remin * (1.0 - c.DONREFRACT)))
-    for g, au in enumerate(autos):
-        if au.nfixer:
-            tend[T.NH4] = tend[T.NH4] + nexcrete[g]
-
-    # ---- dissolved iron (BGC_mod.F90:1598-1605) ----
-    tend[T.FE] = (pt.fe_remin + c.QFE_ZOO * zoo_loss_dic + dofe_remin
-                  - sum(photoFe) - fe_scavenge)
-    for g in range(nauto):
-        tend[T.FE] = (tend[T.FE]
-                      + qfe[g] * (loss_dic_g[g] + graze_dic[g])
-                      + graze_zoo[g] * (qfe[g] - c.QFE_ZOO))
-
-    # ---- dissolved SiO3 (BGC_mod.F90:1611-1628) ----
-    if params.lrest_sio3:
-        restore_sio3 = forcing.nutr_restore_rtau * (forcing.sio3_clim
-                                                    - sio3)
-    else:
-        restore_sio3 = jnp.zeros_like(sio3)
-    tend[T.SIO3] = restore_sio3 + pt.sio2_remin
-    for g, au in enumerate(autos):
-        if au.has_si:
-            tend[T.SIO3] = (tend[T.SIO3] - photoSi[g]
-                            + qsi[g] * (c.F_GRAZE_SI_REMIN
-                                        * auto_graze[g]
-                                        + (1.0 - au.loss_poc)
-                                        * auto_loss[g]))
-
-    # ---- phosphate (BGC_mod.F90:1634-1661) ----
-    if params.lrest_po4:
-        restore_po4 = forcing.nutr_restore_rtau * (forcing.po4_clim - po4)
-    else:
-        restore_po4 = jnp.zeros_like(po4)
-    tend[T.PO4] = (restore_po4 + dop_remin + dopr_remin - sum(po4_v)
-                   + c.QP_ZOO_POM * ((1.0 - c.DOPREFRACT) * pt.poc_remin
-                                     + zoo_loss_dic))
-    for g, au in enumerate(autos):
-        if au.Qp == c.QP_ZOO_POM:
-            tend[T.PO4] = tend[T.PO4] + au.Qp * (loss_dic_g[g]
-                                                 + graze_dic[g])
-        else:
-            tend[T.PO4] = tend[T.PO4] + rem_p_dip[g]
-
-    # ---- autotroph pools (BGC_mod.F90:1676-1697) ----
-    for g, au in enumerate(autos):
-        wloss = auto_graze[g] + auto_loss[g] + auto_agg[g]
-        tend[T.C_IND[g]] = photoC[g] - wloss
-        tend[T.CHL_IND[g]] = photoacc[g] - thetaC[g] * wloss
-        tend[T.FE_IND[g]] = photoFe[g] - qfe[g] * wloss
-        if T.SI_IND[g] is not None:
-            tend[T.SI_IND[g]] = photoSi[g] - qsi[g] * wloss
-        if T.CACO3_IND[g] is not None:
-            tend[T.CACO3_IND[g]] = (caco3_prod_g[g]
-                                    - qcaco3[g] * wloss)
-
-    # ---- zooC & DOM pools (BGC_mod.F90:1703-1723) ----
-    tend[T.ZOOC] = sum(graze_zoo) - zoo_loss
-    tend[T.DOC] = doc_prod - doc_remin
-    tend[T.DON] = don_prod * (1.0 - c.DONREFRACT) - don_remin
-    tend[T.DONR] = (don_prod * c.DONREFRACT - donr_remin
-                    + pt.poc_remin * c.DONREFRACT * c.Q)
-    tend[T.DOP] = (dop_prod * (1.0 - c.DOPREFRACT) - dop_remin
-                   - sum(dop_v))
-    tend[T.DOPR] = (dop_prod * c.DOPREFRACT - dopr_remin
-                    + pt.poc_remin * c.DOPREFRACT * c.QP_ZOO_POM)
-    tend[T.DOFE] = dofe_prod - dofe_remin
-
-    # ---- DIC (BGC_mod.F90:1729-1745) ----
-    tend[T.DIC] = (sum(loss_dic_g) + sum(graze_dic) - sum(photoC)
-                   + doc_remin + pt.poc_remin + zoo_loss_dic
-                   + pt.caco3_remin)
-    for g, au in enumerate(autos):
-        if T.CACO3_IND[g] is not None:
-            tend[T.DIC] = (tend[T.DIC]
-                           + c.F_GRAZE_CACO3_REMIN * auto_graze[g]
-                           * qcaco3[g] - caco3_prod_g[g])
-    if params.alt_co2_use_eco:
-        tend[T.DIC_ALT_CO2] = tend[T.DIC]
-    else:
-        tend[T.DIC_ALT_CO2] = jnp.zeros_like(tend[T.DIC])
-
-    # ---- alkalinity (BGC_mod.F90:1751-1759) ----
-    tend[T.ALK] = (-tend[T.NO3] + tend[T.NH4]
-                   + 2.0 * pt.caco3_remin)
-    for g, au in enumerate(autos):
-        if T.CACO3_IND[g] is not None:
-            tend[T.ALK] = (tend[T.ALK]
-                           + 2.0 * (c.F_GRAZE_CACO3_REMIN
-                                    * auto_graze[g] * qcaco3[g]
-                                    - caco3_prod_g[g]))
-
-    # ---- oxygen (BGC_mod.F90:1765-1790) ----
-    o2_production = jnp.zeros_like(o2)
-    for g, au in enumerate(autos):
-        if not au.nfixer:
-            denom = no3_v[g] + nh4_v[g]
-            contrib = photoC[g] * (
-                _safe_div(no3_v[g], denom) / c.PARM_RED_D_C_O2
-                + _safe_div(nh4_v[g], denom) / c.PARM_REMIN_D_C_O2)
-        else:
-            denom = no3_v[g] + nh4_v[g] + nfix[g]
-            contrib = photoC[g] * (
-                _safe_div(no3_v[g], denom) / c.PARM_RED_D_C_O2
-                + _safe_div(nh4_v[g], denom) / c.PARM_REMIN_D_C_O2
-                + _safe_div(nfix[g], denom) / c.PARM_RED_D_C_O2_DIAZ)
-        o2_production = o2_production + jnp.where(photoC[g] > 0.0,
-                                                  contrib, 0.0)
-
-    o2_fac = jnp.clip((o2 - params.parm_o2_min)
-                      / params.parm_o2_min_delta, 0.0, 1.0)
-    o2_consumption = o2_fac * (
-        (pt.poc_remin + doc_remin
-         - pt.sed_denitrif * c.DENITRIF_C_N - pt.other_remin
-         + zoo_loss_dic + sum(loss_dic_g) + sum(graze_dic))
-        / c.PARM_REMIN_D_C_O2 + 2.0 * nitrif)
-    tend[T.O2] = o2_production - o2_consumption
+    # ---- tendency assembly (BGC_mod.F90:1545-1790) ----
+    restore_no3, restore_sio3, restore_po4 = compute_restoring(
+        forcing, tr, params)
+    tend, ex = assemble_tendencies(kin, pt, fe_scavenge, tr,
+                                   restore_no3, restore_sio3,
+                                   restore_po4, params)
 
     # mask all tendencies to active cells; tracer axis in the middle
     tend = [jnp.where(active, t, 0.0) for t in tend]
@@ -860,28 +1065,30 @@ def bgc_source_sink(
             "NO3_RESTORE": _m(restore_no3),
             "SiO3_RESTORE": _m(restore_sio3),
             "PO4_RESTORE": _m(restore_po4),
-            "NITRIF": _m(nitrif), "DENITRIF": _m(denitrif),
-            "O2_PRODUCTION": _m(o2_production),
-            "O2_CONSUMPTION": _m(o2_consumption),
+            "NITRIF": _m(ex.nitrif), "DENITRIF": _m(ex.denitrif),
+            "O2_PRODUCTION": _m(ex.o2_production),
+            "O2_CONSUMPTION": _m(ex.o2_consumption),
             "AOU": _m(o2sat(temp, salt) - o2),
-            "PAR_avg": _m(par_avg),
-            "zoo_loss": _m(zoo_loss),
-            "auto_graze_TOT": _m(sum(auto_graze)),
-            "photoC_TOT": _m(sum(photoC)),
-            "DOC_prod": _m(doc_prod), "DOC_remin": _m(doc_remin),
-            "DON_prod": _m(don_prod), "DON_remin": _m(don_remin),
-            "DOP_prod": _m(dop_prod), "DOP_remin": _m(dop_remin),
-            "DOFe_prod": _m(dofe_prod), "DOFe_remin": _m(dofe_remin),
-            "DONr_remin": _m(donr_remin), "DOPr_remin": _m(dopr_remin),
+            "PAR_avg": _m(kin.par_avg),
+            "zoo_loss": _m(kin.zoo_loss),
+            "auto_graze_TOT": _m(sum(kin.auto_graze)),
+            "photoC_TOT": _m(sum(kin.photoC)),
+            "DOC_prod": _m(kin.doc_prod), "DOC_remin": _m(kin.doc_remin),
+            "DON_prod": _m(kin.don_prod), "DON_remin": _m(kin.don_remin),
+            "DOP_prod": _m(kin.dop_prod), "DOP_remin": _m(kin.dop_remin),
+            "DOFe_prod": _m(kin.dofe_prod),
+            "DOFe_remin": _m(kin.dofe_remin),
+            "DONr_remin": _m(kin.donr_remin),
+            "DOPr_remin": _m(kin.dopr_remin),
             "Fe_scavenge": _m(fe_scavenge),
             "Fe_scavenge_rate": _m(fe_scavenge_rate),
             "tot_CaCO3_form": _m(sum(
-                cp for cp in caco3_prod_g if cp is not None)),
-            "tot_Nfix": _m(sum(nf for nf in nfix if nf is not None)),
+                cp for cp in kin.caco3_prod_g if cp is not None)),
+            "tot_Nfix": _m(sum(nf for nf in kin.nfix if nf is not None)),
         })
         diags.update(particulate_diags(
-            particles_in, pt, poc_prod, caco3_prod, sio2_prod, fe_prod,
-            dz, active))
+            particles_in, pt, kin.poc_prod, kin.caco3_prod,
+            kin.sio2_prod, fe_prod, dz, active))
 
         # per-autotroph 3D diagnostics, stacked (nlev, nauto, ncol)
         def _stack(vals):
@@ -889,25 +1096,26 @@ def bgc_source_sink(
                               else jnp.zeros_like(dz)
                               for v in vals], axis=1)
 
-        diags["N_lim"] = _stack(d_n_lim)
-        diags["Fe_lim"] = _stack(d_fe_lim)
-        diags["P_lim"] = _stack(d_p_lim)
-        diags["SiO3_lim"] = _stack(d_si_lim)
-        diags["light_lim"] = _stack(d_light)
-        diags["photoC"] = _stack(photoC)
-        diags["photoFe"] = _stack(photoFe)
-        diags["photoNO3"] = _stack(no3_v)
-        diags["photoNH4"] = _stack(nh4_v)
-        diags["PO4_uptake"] = _stack(po4_v)
-        diags["DOP_uptake"] = _stack(dop_v)
-        diags["auto_graze"] = _stack(auto_graze)
-        diags["auto_loss"] = _stack(auto_loss)
-        diags["auto_agg"] = _stack(auto_agg)
-        diags["bSi_form"] = _stack(photoSi)
-        diags["CaCO3_form"] = _stack(caco3_prod_g)
-        diags["Nfix"] = _stack(nfix)
-        photoc_no3 = [jnp.where(vntot[g] > 0.0,
-                                _safe_div(vno3[g], vntot[g]) * photoC[g],
+        diags["N_lim"] = _stack(kin.d_n_lim)
+        diags["Fe_lim"] = _stack(kin.d_fe_lim)
+        diags["P_lim"] = _stack(kin.d_p_lim)
+        diags["SiO3_lim"] = _stack(kin.d_si_lim)
+        diags["light_lim"] = _stack(kin.d_light)
+        diags["photoC"] = _stack(kin.photoC)
+        diags["photoFe"] = _stack(kin.photoFe)
+        diags["photoNO3"] = _stack(kin.no3_v)
+        diags["photoNH4"] = _stack(kin.nh4_v)
+        diags["PO4_uptake"] = _stack(kin.po4_v)
+        diags["DOP_uptake"] = _stack(kin.dop_v)
+        diags["auto_graze"] = _stack(kin.auto_graze)
+        diags["auto_loss"] = _stack(kin.auto_loss)
+        diags["auto_agg"] = _stack(kin.auto_agg)
+        diags["bSi_form"] = _stack(kin.photoSi)
+        diags["CaCO3_form"] = _stack(kin.caco3_prod_g)
+        diags["Nfix"] = _stack(kin.nfix)
+        photoc_no3 = [jnp.where(kin.vntot[g] > 0.0,
+                                _safe_div(kin.vno3[g], kin.vntot[g])
+                                * kin.photoC[g],
                                 0.0) for g in range(nauto)]
         diags["photoC_NO3"] = _stack(photoc_no3)
         diags["photoC_NO3_TOT"] = _m(sum(photoc_no3))
@@ -920,8 +1128,8 @@ def bgc_source_sink(
         ntot = (tend[T.NO3] + tend[T.NH4] + tend[T.DON] + tend[T.DONR]
                 + c.Q * tend[T.ZOOC]
                 + c.Q * sum(tend[T.C_IND[g]] for g in range(nauto))
-                + denitrif + pt.sed_denitrif
-                - sum(nfix[g] for g, au in enumerate(autos)
+                + ex.denitrif + pt.sed_denitrif
+                - sum(kin.nfix[g] for g, au in enumerate(autos)
                       if au.nfixer))
         ptot = (tend[T.PO4] + tend[T.DOP] + tend[T.DOPR]
                 + c.QP_ZOO_POM * tend[T.ZOOC]
@@ -953,15 +1161,17 @@ def bgc_source_sink(
         diags["Jint_100m_Sitot"] = _zint(_m(
             sitot * partial_100m
             + jnp.where(in100, pt.sio2_sed_loss, 0.0)))
-        diags["Chl_TOT_zint_100m"] = _zint(_m(sum(a_chl) * partial_100m))
-        diags["tot_bSi_form"] = _zint(_m(sum(ps for ps in photoSi
+        diags["Chl_TOT_zint_100m"] = _zint(_m(sum(kin.a_chl)
+                                              * partial_100m))
+        diags["tot_bSi_form"] = _zint(_m(sum(ps for ps in kin.photoSi
                                              if ps is not None)))
-        diags["photoC_zint"] = _zint(_stack([pc * dz for pc in photoC]))
+        diags["photoC_zint"] = _zint(_stack(
+            [pc * dz for pc in kin.photoC]))
         diags["photoC_NO3_zint"] = _zint(_stack(
             [pn * dz for pn in photoc_no3]))
         diags["CaCO3_form_zint"] = _zint(_stack(
             [cp * dz if cp is not None else None
-             for cp in caco3_prod_g]))
+             for cp in kin.caco3_prod_g]))
         diags["photoC_TOT_zint"] = jnp.sum(diags["photoC_zint"], axis=0)
         diags["photoC_NO3_TOT_zint"] = jnp.sum(diags["photoC_NO3_zint"],
                                                axis=0)

@@ -130,6 +130,24 @@ def _scalelength(cell_bottom_depth, params: BGCParams):
     return jnp.interp(cell_bottom_depth, z, v)
 
 
+def scalelength_explicit(cell_bottom_depth, params: BGCParams):
+    """The same 4-knot clamped interpolation as :func:`_scalelength`,
+    written as explicit per-segment selects — no ``searchsorted``/gather,
+    so it lowers through Mosaic inside the fused Pallas step kernel.
+    Agrees with ``jnp.interp`` to rounding (tests/test_pallas_step.py);
+    the knot table is static (python floats), so the segment bounds are
+    compile-time constants."""
+    z = params.parm_scalelen_z
+    v = params.parm_scalelen_vals
+    out = jnp.full_like(cell_bottom_depth, v[0])
+    for i in range(len(z) - 1):
+        t = (cell_bottom_depth - z[i]) / (z[i + 1] - z[i])
+        seg = v[i] + t * (v[i + 1] - v[i])
+        out = jnp.where((cell_bottom_depth > z[i])
+                        & (cell_bottom_depth <= z[i + 1]), seg, out)
+    return jnp.where(cell_bottom_depth > z[-1], v[-1], out)
+
+
 def particulate_level_update(
     carry: ParticleCarry,
     poc_prod, caco3_prod, sio2_prod, fe_prod,   # (ncol,) production terms
@@ -139,10 +157,17 @@ def particulate_level_update(
     is_bottom,                                  # (ncol,) bool: k == kmax-1
     active,                                     # (ncol,) bool: k < kmax
     params: BGCParams,
+    *,
+    scalelength_fn=None,
 ) -> Tuple[ParticleCarry, ParticleLevelOut]:
     """One level of the sinking recurrence (compute_particulate_terms,
     BGC_mod.F90:2116-2699).  Returns the carry for the next level and the
-    per-level remineralization/burial terms."""
+    per-level remineralization/burial terms.
+
+    ``scalelength_fn`` swaps the knot-table interpolation implementation
+    (the fused Pallas kernel passes :func:`scalelength_explicit`)."""
+    if scalelength_fn is None:
+        scalelength_fn = _scalelength
 
     dz = cell_thickness
     dzr = 1.0 / dz
@@ -155,7 +180,7 @@ def particulate_level_update(
     fe_s_in, fe_h_in = carry.fe_s, carry.fe_h
 
     # dissolution length scales (BGC_mod.F90:2288-2338)
-    scalelength = _scalelength(cell_bottom_depth, params)
+    scalelength = scalelength_fn(cell_bottom_depth, params)
     decay_hard = jnp.exp(-dz / DECAY_HARD_SCALE)
     decay_hard_dust = jnp.exp(-dz / DECAY_HARD_DUST_SCALE)
     tfuncs = TFUNCS_Q10 ** ((temp - TREF) / 10.0)
