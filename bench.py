@@ -26,7 +26,8 @@ import jax
 
 
 def _throughput(device, ncol, nlev, nsteps, repeats, compute_diags,
-                dtype=None, carbonate_impl="xla", diag_dtype=None):
+                dtype=None, carbonate_impl="xla", diag_dtype=None,
+                interior_impl="auto"):
     from ocean_bgc_tpu.models.coupled import step
     from ocean_bgc_tpu.params import ModelParams
     from ocean_bgc_tpu.utils.synthetic import synthetic_world
@@ -46,6 +47,7 @@ def _throughput(device, ncol, nlev, nsteps, repeats, compute_diags,
         lambda s: step(s, grid, forcing, params, 3600.0,
                        compute_diags=compute_diags,
                        carbonate_impl=carbonate_impl,
+                       interior_impl=interior_impl,
                        diag_dtype=diag_dtype),
         donate_argnums=0)
     out, diags = fn(state)               # compile + warm up

@@ -25,7 +25,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ocean_bgc_tpu.ops.bgc import bgc_source_sink
+from ocean_bgc_tpu.ops.bgc import BGCSourceSinkOut, bgc_source_sink
 from ocean_bgc_tpu.ops.dms import dms_source_sink
 from ocean_bgc_tpu.ops.macros import macros_source_sink
 from ocean_bgc_tpu.ops.surface import bgc_surface_fluxes, dms_surface_fluxes
@@ -92,6 +92,23 @@ class CoupledTendencies:
     surface_ph_alt: jax.Array
 
 
+def resolve_interior_impl(impl: str, dtype, compute_diags: bool) -> str:
+    """Resolve the BGC-interior implementation.
+
+    "auto" -> the fused whole-column Pallas kernel
+    (:mod:`ocean_bgc_tpu.ops.pallas_step`) for the float32 *production*
+    configuration (diags off) on a TPU backend; the XLA path everywhere
+    else (f64 is the exact-contract path; diagnostics need the full
+    XLA evaluation; CPU has no Mosaic)."""
+    if impl == "auto":
+        return ("fused" if (dtype == jnp.float32 and not compute_diags
+                            and jax.default_backend() == "tpu")
+                else "xla")
+    if impl not in ("xla", "fused"):
+        raise ValueError(f"unknown interior_impl {impl!r}")
+    return impl
+
+
 def evaluate_tendencies(
     state: CoupledState,
     grid: ColumnGrid,
@@ -100,6 +117,7 @@ def evaluate_tendencies(
     *,
     compute_diags: bool = True,
     carbonate_impl: str = "auto",
+    interior_impl: str = "auto",
     diag_dtype=None,
 ) -> Tuple[CoupledTendencies, Dict[str, jax.Array]]:
     """The coupled model's right-hand side: surface fluxes + all three
@@ -111,6 +129,9 @@ def evaluate_tendencies(
     diagnostic HBM traffic, matching how production hosts write
     single-precision history files from a float64 model.  ``None``
     (default) emits diagnostics in the state dtype.
+
+    ``interior_impl``: "auto" | "xla" | "fused" — see
+    :func:`resolve_interior_impl`.
     """
 
     active = grid.active_mask()                       # (nlev, ncol)
@@ -127,10 +148,20 @@ def evaluate_tendencies(
         params.dms)
 
     # ---- 2. interior tendencies ----
-    bgc_out = bgc_source_sink(
-        state.bgc.tracers, grid, forcing,
-        state.bgc.ph_prev_3d, state.bgc.ph_prev_alt_3d, params.bgc,
-        compute_diags=compute_diags, carbonate_impl=carbonate_impl)
+    if resolve_interior_impl(interior_impl, state.bgc.tracers.dtype,
+                             compute_diags) == "fused":
+        from ocean_bgc_tpu.ops.pallas_step import fused_interior_step
+        f = fused_interior_step(
+            state.bgc.tracers, grid, forcing,
+            state.bgc.ph_prev_3d, state.bgc.ph_prev_alt_3d, params.bgc)
+        bgc_out = BGCSourceSinkOut(
+            tendencies=f.tendencies, ph_prev_3d=f.ph_prev_3d,
+            ph_prev_alt_3d=f.ph_prev_alt_3d, diags={})
+    else:
+        bgc_out = bgc_source_sink(
+            state.bgc.tracers, grid, forcing,
+            state.bgc.ph_prev_3d, state.bgc.ph_prev_alt_3d, params.bgc,
+            compute_diags=compute_diags, carbonate_impl=carbonate_impl)
     dms_tend, dms_diags = dms_source_sink(
         dms_tracer_block(state), grid.cell_thickness, active,
         forcing.sst, forcing.shortwave_surface, params.dms)
@@ -200,6 +231,7 @@ def step(
     *,
     compute_diags: bool = True,
     carbonate_impl: str = "auto",
+    interior_impl: str = "auto",
     diag_dtype=None,
 ) -> Tuple[CoupledState, Dict[str, jax.Array]]:
     """One coupled forward-Euler timestep (the host models' standard
@@ -207,6 +239,7 @@ def step(
     tend, diags = evaluate_tendencies(state, grid, forcing, params,
                                       compute_diags=compute_diags,
                                       carbonate_impl=carbonate_impl,
+                                      interior_impl=interior_impl,
                                       diag_dtype=diag_dtype)
     return apply_update(state, tend, dt), diags
 
@@ -232,6 +265,7 @@ def run(
     compute_diags: bool = False,
     tavg_fields=None,
     carbonate_impl: str = "auto",
+    interior_impl: str = "auto",
 ):
     """Integrate ``nsteps`` with constant forcing as one compiled scan.
 
@@ -254,7 +288,8 @@ def run(
     def one_step(s, want_diags):
         return step(s, grid, forcing, params, dt,
                     compute_diags=want_diags,
-                    carbonate_impl=carbonate_impl)
+                    carbonate_impl=carbonate_impl,
+                    interior_impl=interior_impl)
 
     sums0 = (_tavg_sums0(track, state, lambda s: one_step(s, True))
              if track else {})

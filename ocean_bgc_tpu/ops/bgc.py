@@ -275,6 +275,15 @@ def ecosystem_kinetics(
     autos = params.autotrophs
     nauto = len(autos)
     north = lat >= 0.0
+    cdt = temp.dtype
+
+    def _ns(trait_n, trait_s):
+        """North/south trait select with dtype-pinned branches — a
+        both-scalar where makes a weak float64 vector under x64, which
+        Mosaic cannot legalize inside the fused Pallas kernel; the
+        typed constants are exactly equal in either precision."""
+        return jnp.where(north, jnp.asarray(trait_n, cdt),
+                         jnp.asarray(trait_s, cdt))
 
     no3 = tr[:, T.NO3]
     sio3 = tr[:, T.SIO3]
@@ -367,7 +376,7 @@ def ecosystem_kinetics(
     for g, au in enumerate(autos):
         thres = f_loss_thres * au.loss_thres
         if au.temp_function == c.TFNC_QUASI_MMRT:
-            tmax = jnp.where(north, au.temp_thresN, au.temp_thresS)
+            tmax = _ns(au.temp_thresN, au.temp_thresS)
             thres = jnp.where(temp > tmax,
                               f_loss_thres * au.loss_thres2, thres)
         else:
@@ -420,8 +429,8 @@ def ecosystem_kinetics(
         pcmax = au.PCref * f_nut * tfunc
         pcmax = jnp.where(temp < au.temp_thres, 0.0, pcmax)
         if au.temp_function == c.TFNC_QUASI_MMRT:
-            topt = jnp.where(north, au.temp_optN, au.temp_optS)
-            tmax = jnp.where(north, au.temp_thresN, au.temp_thresS)
+            topt = _ns(au.temp_optN, au.temp_optS)
+            tmax = _ns(au.temp_thresN, au.temp_thresS)
             pcmax = pcmax * jnp.minimum(1.0,
                                         (tmax - temp) / (tmax - topt))
             pcmax = jnp.where(temp > tmax, 0.0, pcmax)
@@ -580,18 +589,23 @@ def ecosystem_kinetics(
         dofe_prod = dofe_prod + qfe[g] * (loss_doc_g[g] + graze_doc[g])
 
     lit = par_avg > 1.0    # euphotic-zone photochemistry switch
-    doc_remin = doc * c.DOC_REMINR * jnp.where(lit, 1.0,
-                                               c.DOC_REMIN_DARK_FAC)
-    don_remin = don * c.DON_REMINR * jnp.where(lit, 1.0,
-                                               c.DON_REMIN_DARK_FAC)
-    dofe_remin = dofe * c.DOFE_REMINR * jnp.where(lit, 1.0,
-                                                  c.DOFE_REMIN_DARK_FAC)
-    dop_remin = dop * c.DOP_REMINR * jnp.where(lit, 1.0,
-                                               c.DOP_REMIN_DARK_FAC)
-    donr_remin = donr * jnp.where(lit, c.DONR_REMINR,
-                                  c.DONR_REMINR_DARK)
-    dopr_remin = dopr * jnp.where(lit, c.DOPR_REMINR,
-                                  c.DOPR_REMINR_DARK)
+    # both where-branches are dtype-pinned scalars (not weak python
+    # floats): a both-scalar where makes a weak float64 VECTOR under
+    # x64, which Mosaic cannot legalize inside the fused Pallas kernel;
+    # the typed constants are exactly equal in either precision
+    dt = doc.dtype
+
+    def _lit_fac(bright, dark):
+        return jnp.where(lit, jnp.asarray(bright, dt),
+                         jnp.asarray(dark, dt))
+
+    doc_remin = doc * c.DOC_REMINR * _lit_fac(1.0, c.DOC_REMIN_DARK_FAC)
+    don_remin = don * c.DON_REMINR * _lit_fac(1.0, c.DON_REMIN_DARK_FAC)
+    dofe_remin = (dofe * c.DOFE_REMINR
+                  * _lit_fac(1.0, c.DOFE_REMIN_DARK_FAC))
+    dop_remin = dop * c.DOP_REMINR * _lit_fac(1.0, c.DOP_REMIN_DARK_FAC)
+    donr_remin = donr * _lit_fac(c.DONR_REMINR, c.DONR_REMINR_DARK)
+    dopr_remin = dopr * _lit_fac(c.DOPR_REMINR, c.DOPR_REMINR_DARK)
 
     # ---- particulate production (BGC_mod.F90:1467-1529) ----
     poc_prod = (f_zoo_detr * zoo_loss + sum(graze_poc)

@@ -259,7 +259,14 @@ def _step_kernel(tr_ref, temp_ref, salt_ref, dz_ref, center_ref,
         scr_out[pl.ds(k, 1), 6, :] = fe_scavenge
         return new_carry
 
-    jax.lax.fori_loop(0, nlev, level_body, carry0)
+    # jnp i32 bounds: under jax_enable_x64, python-int or np.int32
+    # bounds BOTH make the induction variable i64 (fori_loop converts
+    # concrete bounds through python int), which Mosaic's convert-
+    # element-type helper cannot legalize (it recurses); traced i32
+    # scalars keep the counter i32 — same class of trap as the
+    # index-map literals in ops/pallas_carbonate.py
+    jax.lax.fori_loop(jnp.asarray(0, jnp.int32),
+                      jnp.asarray(nlev, jnp.int32), level_body, carry0)
 
     pt = ParticleProdOut(
         poc_remin=scr_out[:, 0, :], caco3_remin=scr_out[:, 1, :],
@@ -328,7 +335,7 @@ def _fused_padded(args, params, block_cols, interpret, nlev):
             return jax.ShapeDtypeStruct(shape, jnp.float32, vma=vma)
         return jax.ShapeDtypeStruct(shape, jnp.float32)
 
-    return pl.pallas_call(
+    call = pl.pallas_call(
         functools.partial(_step_kernel, params=params, nlev=nlev),
         grid=(ncolp // block_cols,),
         in_specs=in_specs,
@@ -339,8 +346,24 @@ def _fused_padded(args, params, block_cols, interpret, nlev):
             pltpu.VMEM((nlev, _N_SCR_IN, block_cols), jnp.float32),
             pltpu.VMEM((nlev, _N_SCR_OUT, block_cols), jnp.float32),
         ],
+        # the live set of the whole-column kinetics (~50 (nlev, C) f32
+        # intermediates) plus the double-buffered block I/O needs ~25 MB
+        # at C=128 — above the 16 MB default scoped-vmem limit but well
+        # inside v5e's 128 MB physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(os.environ.get(
+                "OBGC_FUSED_VMEM_MB", "64")) * 1024 * 1024),
         interpret=interpret,
-    )(*args)
+    )
+    # trace the kernel with x64 semantics OFF: under x64, every weak
+    # python-float literal in the shared physics (the ~70 `where(c, x,
+    # 0.0)` guards) canonicalizes to an f64 scalar; Mosaic lowers the
+    # deduplicated jnp.where sub-jits as functions, where those literals
+    # become real f64 block arguments and the scalar f64->f32 truncf
+    # cannot be legalized.  With x64 off, the literals are born f32.
+    # All kernel inputs are explicitly f32/i32, so nothing else changes.
+    with jax.enable_x64(False):
+        return call(*args)
 
 
 def fused_interior_step(

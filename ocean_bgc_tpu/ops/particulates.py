@@ -185,12 +185,15 @@ def particulate_level_update(
     decay_hard_dust = jnp.exp(-dz / DECAY_HARD_DUST_SCALE)
     tfuncs = TFUNCS_Q10 ** ((temp - TREF) / 10.0)
 
-    poc_diss = params.parm_POC_diss
-    # O2-dependent POC dissolution lengthening (BGC_mod.F90:2311-2315)
+    # O2-dependent POC dissolution lengthening (BGC_mod.F90:2311-2315);
+    # dtype-pinned scalar branches (see the _lit_fac note in ops/bgc.py)
+    dt = o2_loc.dtype
+    poc_diss = jnp.asarray(params.parm_POC_diss, dt)
     poc_diss = jnp.where(
         (o2_loc >= 5.0) & (o2_loc < 40.0),
         params.parm_POC_diss * (1.0 + (3.3 - 1.0) * (40.0 - o2_loc) / 35.0),
-        jnp.where(o2_loc < 5.0, params.parm_POC_diss * 3.3, poc_diss))
+        jnp.where(o2_loc < 5.0,
+                  jnp.asarray(params.parm_POC_diss * 3.3, dt), poc_diss))
 
     poc_diss = scalelength * poc_diss
     sio2_diss = scalelength * params.parm_SiO2_diss / tfuncs
@@ -301,7 +304,10 @@ def particulate_level_update(
         other_remin)
 
     sio2_flux = sio2_s_out + sio2_h_out
-    sio2_bury_eff = jnp.where(sio2_flux * MPERCM * SPD > 2.0, 0.2, 0.04)
+    # dtype-pinned branches (see the _lit_fac note in ops/bgc.py)
+    sio2_bury_eff = jnp.where(sio2_flux * MPERCM * SPD > 2.0,
+                              jnp.asarray(0.2, sio2_flux.dtype),
+                              jnp.asarray(0.04, sio2_flux.dtype))
     sio2_sed_loss = jnp.where(bot, sio2_flux * params.parm_BSIbury
                               * sio2_bury_eff, 0.0)
 
