@@ -259,14 +259,15 @@ def _step_kernel(tr_ref, temp_ref, salt_ref, dz_ref, center_ref,
         scr_out[pl.ds(k, 1), 6, :] = fe_scavenge
         return new_carry
 
-    # jnp i32 bounds: under jax_enable_x64, python-int or np.int32
-    # bounds BOTH make the induction variable i64 (fori_loop converts
-    # concrete bounds through python int), which Mosaic's convert-
-    # element-type helper cannot legalize (it recurses); traced i32
-    # scalars keep the counter i32 — same class of trap as the
-    # index-map literals in ops/pallas_carbonate.py
-    jax.lax.fori_loop(jnp.asarray(0, jnp.int32),
-                      jnp.asarray(nlev, jnp.int32), level_body, carry0)
+    # python-int bounds are safe ONLY because the kernel is traced under
+    # jax.enable_x64(False) (see _fused_padded): with x64 on they
+    # canonicalize the induction variable to i64, which Mosaic's
+    # convert-element-type helper cannot legalize (it recurses).
+    # Concrete bounds also give fori_loop the static trip count that
+    # `unroll` needs; unrolling lets Mosaic overlap the (1, C)
+    # level-recurrence bodies.
+    unroll = int(os.environ.get("OBGC_FUSED_LEVEL_UNROLL", "4"))
+    jax.lax.fori_loop(0, nlev, level_body, carry0, unroll=unroll)
 
     pt = ParticleProdOut(
         poc_remin=scr_out[:, 0, :], caco3_remin=scr_out[:, 1, :],

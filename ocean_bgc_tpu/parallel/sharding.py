@@ -68,21 +68,27 @@ def shard_world(state: CoupledState, grid: ColumnGrid, forcing: BGCForcing,
 
 
 def make_sharded_step(mesh: Mesh, params: ModelParams, dt: float, *,
-                      compute_diags: bool = False, nsteps: int = 1):
+                      compute_diags: bool = False, nsteps: int = 1,
+                      interior_impl: str = "auto", check_vma: bool = True):
     """Build the distributed step: ``shard_map`` of the column physics over
     the mesh plus the psum'd global monitoring reductions.
 
     Returns a jitted ``fn(state, grid, forcing) -> (state', global_diags)``
     where ``global_diags`` maps each GLOBAL_SUM_DIAGS name to a replicated
     scalar (the cross-chip sum) — the only collective in the program.
+    The fused Pallas interior (``interior_impl``, models/coupled.py)
+    composes with shard_map: each chip runs the kernel on its local
+    column shard; no collective crosses the kernel boundary.
     """
 
     def local_step(state, grid, forcing):
         for _ in range(nsteps - 1):
             state, _ = step(state, grid, forcing, params, dt,
-                            compute_diags=False)
+                            compute_diags=False,
+                            interior_impl=interior_impl)
         new_state, diags = step(state, grid, forcing, params, dt,
-                                compute_diags=compute_diags)
+                                compute_diags=compute_diags,
+                                interior_impl=interior_impl)
         if compute_diags:
             global_diags = {
                 name: jax.lax.psum(jnp.sum(diags[name]), COLUMNS)
@@ -96,6 +102,12 @@ def make_sharded_step(mesh: Mesh, params: ModelParams, dt: float, *,
         return jax.tree.map(_col_spec, tree)
 
     def fn(state, grid, forcing):
+        # check_vma=False is needed ONLY when running the fused Pallas
+        # interior in interpreter mode (CPU tests): the HLO interpreter
+        # re-evaluates the pre-traced kernel jaxpr inside shard_map,
+        # where its iota-derived masks are unvarying against the varying
+        # kmax operand.  The compiled Mosaic path is an opaque custom
+        # call and passes the vma check (out_shapes carry the vma).
         mapped = jax.shard_map(
             local_step, mesh=mesh,
             in_specs=(specs_like(state), specs_like(grid),
@@ -103,6 +115,7 @@ def make_sharded_step(mesh: Mesh, params: ModelParams, dt: float, *,
             out_specs=(specs_like(state),
                        {name: P() for name in GLOBAL_SUM_DIAGS}
                        if compute_diags else {}),
+            check_vma=check_vma,
         )
         return mapped(state, grid, forcing)
 
