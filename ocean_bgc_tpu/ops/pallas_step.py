@@ -263,10 +263,11 @@ def _step_kernel(tr_ref, temp_ref, salt_ref, dz_ref, center_ref,
     # jax.enable_x64(False) (see _fused_padded): with x64 on they
     # canonicalize the induction variable to i64, which Mosaic's
     # convert-element-type helper cannot legalize (it recurses).
-    # Concrete bounds also give fori_loop the static trip count that
-    # `unroll` needs; unrolling lets Mosaic overlap the (1, C)
-    # level-recurrence bodies.
-    unroll = int(os.environ.get("OBGC_FUSED_LEVEL_UNROLL", "4"))
+    # Mosaic's in-kernel for-loop lowering supports unroll=1 or FULL
+    # unroll only; OBGC_FUSED_LEVEL_UNROLL=full unrolls all nlev bodies
+    # (bigger Mosaic program, more scheduling freedom).
+    unroll = os.environ.get("OBGC_FUSED_LEVEL_UNROLL", "1")
+    unroll = nlev if unroll == "full" else int(unroll)
     jax.lax.fori_loop(0, nlev, level_body, carry0, unroll=unroll)
 
     pt = ParticleProdOut(
