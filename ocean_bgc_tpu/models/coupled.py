@@ -95,15 +95,21 @@ class CoupledTendencies:
 def resolve_interior_impl(impl: str, dtype, compute_diags: bool) -> str:
     """Resolve the BGC-interior implementation.
 
-    "auto" -> the fused whole-column Pallas kernel
-    (:mod:`ocean_bgc_tpu.ops.pallas_step`) for the float32 *production*
-    configuration (diags off) on a TPU backend; the XLA path everywhere
-    else (f64 is the exact-contract path; diagnostics need the full
-    XLA evaluation; CPU has no Mosaic)."""
+    "auto" -> "xla" (the batched-kinetics XLA path with the fused
+    Pallas carbonate solve at f32 — the measured winner).  "fused"
+    opts into the whole-column Pallas kernel
+    (:mod:`ocean_bgc_tpu.ops.pallas_step`): one VMEM-resident kernel
+    for the entire interior, qualified to the XLA path's trajectory
+    envelope, but measured 0.86x the default on v5e (the f32 step is
+    compute-bound, so removing the intermediate HBM traffic does not
+    pay — docs/BENCHMARKS.md round 3).  float32 + diags-off only;
+    forward-only (no custom VJP — use "xla" under jax.grad)."""
     if impl == "auto":
-        return ("fused" if (dtype == jnp.float32 and not compute_diags
-                            and jax.default_backend() == "tpu")
-                else "xla")
+        return "xla"
+    if impl == "fused" and (dtype != jnp.float32 or compute_diags):
+        raise ValueError(
+            "interior_impl='fused' supports only the float32 "
+            "production configuration (compute_diags=False)")
     if impl not in ("xla", "fused"):
         raise ValueError(f"unknown interior_impl {impl!r}")
     return impl
