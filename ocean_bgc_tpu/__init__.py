@@ -42,6 +42,9 @@ def __getattr__(name):
     if name in ("step", "run", "CoupledState"):
         from ocean_bgc_tpu.models import coupled
         return getattr(coupled, name)
+    if name in ("precompute_env", "EnvCache"):
+        from ocean_bgc_tpu.ops import bgc
+        return getattr(bgc, name)
     if name == "synthetic_world":
         from ocean_bgc_tpu.utils.synthetic import synthetic_world
         return synthetic_world

@@ -25,7 +25,12 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ocean_bgc_tpu.ops.bgc import BGCSourceSinkOut, bgc_source_sink
+from ocean_bgc_tpu.ops.bgc import (
+    BGCSourceSinkOut,
+    EnvCache,
+    bgc_source_sink,
+    precompute_env,
+)
 from ocean_bgc_tpu.ops.dms import dms_source_sink
 from ocean_bgc_tpu.ops.macros import macros_source_sink
 from ocean_bgc_tpu.ops.surface import bgc_surface_fluxes, dms_surface_fluxes
@@ -125,6 +130,7 @@ def evaluate_tendencies(
     carbonate_impl: str = "auto",
     interior_impl: str = "auto",
     diag_dtype=None,
+    env: EnvCache = None,
 ) -> Tuple[CoupledTendencies, Dict[str, jax.Array]]:
     """The coupled model's right-hand side: surface fluxes + all three
     source-sink kernels, as d(state)/dt pytrees.
@@ -167,7 +173,8 @@ def evaluate_tendencies(
         bgc_out = bgc_source_sink(
             state.bgc.tracers, grid, forcing,
             state.bgc.ph_prev_3d, state.bgc.ph_prev_alt_3d, params.bgc,
-            compute_diags=compute_diags, carbonate_impl=carbonate_impl)
+            compute_diags=compute_diags, carbonate_impl=carbonate_impl,
+            env=env)
     dms_tend, dms_diags = dms_source_sink(
         dms_tracer_block(state), grid.cell_thickness, active,
         forcing.sst, forcing.shortwave_surface, params.dms)
@@ -239,14 +246,20 @@ def step(
     carbonate_impl: str = "auto",
     interior_impl: str = "auto",
     diag_dtype=None,
+    env: EnvCache = None,
 ) -> Tuple[CoupledState, Dict[str, jax.Array]]:
     """One coupled forward-Euler timestep (the host models' standard
-    coupling scheme). Returns (state', diagnostics)."""
+    coupling scheme). Returns (state', diagnostics).
+
+    ``env``: precomputed forcing-invariant coefficient tables
+    (ops/bgc.py::precompute_env) — equal to refusion ulps, skips ~2/3
+    of the step's transcendentals while the forcing snapshot is
+    held."""
     tend, diags = evaluate_tendencies(state, grid, forcing, params,
                                       compute_diags=compute_diags,
                                       carbonate_impl=carbonate_impl,
                                       interior_impl=interior_impl,
-                                      diag_dtype=diag_dtype)
+                                      diag_dtype=diag_dtype, env=env)
     return apply_update(state, tend, dt), diags
 
 
@@ -272,6 +285,7 @@ def run(
     tavg_fields=None,
     carbonate_impl: str = "auto",
     interior_impl: str = "auto",
+    env_cache: bool = True,
 ):
     """Integrate ``nsteps`` with constant forcing as one compiled scan.
 
@@ -291,11 +305,17 @@ def run(
 
     track = tuple(tavg_fields) if tavg_fields is not None else ()
 
+    # run() holds the forcing constant, so the forcing-invariant
+    # coefficient tables are loop-invariant: evaluate them ONCE outside
+    # the scan (refusion-ulp equal; ~2/3 of the per-step
+    # transcendentals)
+    env = precompute_env(grid, forcing, params.bgc) if env_cache else None
+
     def one_step(s, want_diags):
         return step(s, grid, forcing, params, dt,
                     compute_diags=want_diags,
                     carbonate_impl=carbonate_impl,
-                    interior_impl=interior_impl)
+                    interior_impl=interior_impl, env=env)
 
     sums0 = (_tavg_sums0(track, state, lambda s: one_step(s, True))
              if track else {})

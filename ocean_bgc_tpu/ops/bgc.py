@@ -57,13 +57,20 @@ import jax
 import jax.numpy as jnp
 
 from ocean_bgc_tpu import constants as c
-from ocean_bgc_tpu.ops.carbonate import co3_sat_vals, co3_terms_dual
+from ocean_bgc_tpu.ops.carbonate import (
+    CarbCoeffs,
+    carbonate_coeffs,
+    co3_sat_vals,
+    co3_terms_dual,
+)
 from ocean_bgc_tpu.ops.particulates import (
+    DissolutionCache,
     ParticleCarry,
     ParticleProdOut,
     init_particle_carry,
     particulate_diags,
     particulate_level_update,
+    precompute_dissolution,
 )
 from ocean_bgc_tpu.ops.schmidt import o2sat
 from ocean_bgc_tpu.params import BGCParams
@@ -179,6 +186,59 @@ def _zsat_search(anom, center, prev_center, bottom, active, kmax):
     return jnp.where(kmax > 0, zs, 0.0)
 
 
+class EnvCache(NamedTuple):
+    """Forcing-invariant coefficient tables (the "env cache").
+
+    Everything here depends only on (T, S, grid) — the 11 carbonate
+    equilibrium constants (co2calc.F90:320-777), the calcite/aragonite
+    solubilities (:1096-1238), the Q10 temperature responses
+    (BGC_mod.F90:1041, :2306) and the particulate dissolution decays
+    (:2288-2338) — i.e. on the forcing snapshot, not on the evolving
+    tracers.  A host holding its forcing constant between coupling
+    intervals (the standard regime: tracer dt << forcing dt) evaluates
+    these ONCE per forcing update (:func:`precompute_env`) instead of
+    every timestep, removing ~2/3 of the step's transcendentals —
+    which the roofline analysis shows is exactly what the step is
+    bound by at both precisions (docs/BENCHMARKS.md).  The cache
+    evaluates the same expressions on the same inputs the in-step code
+    would; results shift only by XLA scan-body refusion ulps (~1e-14
+    relative at f64 — the same class as the pinned unroll=4 refusion;
+    tests/test_env_cache.py), well inside every correctness gate.
+    """
+
+    coeffs: CarbCoeffs         # interior-solve constants ((nlev, ncol))
+    co3_sat_calc: jax.Array
+    co3_sat_arag: jax.Array
+    tfunc: jax.Array           # ecosystem Q10 response
+    diss: DissolutionCache     # sinking-scheme decay factors
+
+
+def precompute_env(grid: ColumnGrid, forcing: BGCForcing,
+                   params: BGCParams) -> EnvCache:
+    """Evaluate the forcing-invariant tables of :class:`EnvCache`, with
+    exactly the masked stand-ins and pressure gating the in-step code
+    uses (bgc_source_sink; equivalence pinned at refusion-ulp level
+    by tests/test_env_cache.py)."""
+    nlev = grid.nlev
+    active = grid.active_mask()
+    temp = forcing.potential_temperature
+    salt = forcing.salinity
+    center = grid.cell_center_depth
+    depth_m = center * 0.01
+    subsurface = (jnp.arange(nlev) > 0)[:, None]
+    temp_s = jnp.where(active, temp, 10.0)
+    salt_s = jnp.where(active, salt, 35.0)
+    coeffs = carbonate_coeffs(depth_m, temp_s, salt_s, subsurface,
+                              k1_k2_ph_tot=True)
+    sat_calc, sat_arag = co3_sat_vals(depth_m, temp_s, salt_s,
+                                      subsurface)
+    tfunc = c.Q_10 ** ((temp - c.TREF) / 10.0)
+    diss = precompute_dissolution(temp, grid.cell_thickness,
+                                  grid.cell_bottom_depth, params)
+    return EnvCache(coeffs=coeffs, co3_sat_calc=sat_calc,
+                    co3_sat_arag=sat_arag, tfunc=tfunc, diss=diss)
+
+
 class EcosystemKinetics(NamedTuple):
     """Everything the batched per-cell ecosystem algebra produces that the
     sinking scan, the tendency assembly, or the diagnostics consume.
@@ -262,6 +322,7 @@ def ecosystem_kinetics(
     params: BGCParams,
     *,
     par_field_fn=_par_field,
+    tfunc: Optional[jax.Array] = None,
 ) -> EcosystemKinetics:
     """The batched per-cell ecosystem algebra (BGC_mod.F90:826-1529):
     quota ratios, PAR, nutrient uptake, photosynthesis, grazing,
@@ -360,8 +421,10 @@ def ecosystem_kinetics(
     par_in, par_out, par_avg, kpar_dz = par_field_fn(
         par_surf_row, total_chl, dz, active)
 
-    # ---- temperature response (BGC_mod.F90:1041) ----
-    tfunc = c.Q_10 ** ((temp - c.TREF) / 10.0)
+    # ---- temperature response (BGC_mod.F90:1041); precomputed by the
+    # env cache when the forcing snapshot is held constant ----
+    if tfunc is None:
+        tfunc = c.Q_10 ** ((temp - c.TREF) / 10.0)
 
     # ---- depth-tapered loss threshold (BGC_mod.F90:1047-1055) ----
     f_loss_thres = jnp.where(
@@ -867,8 +930,16 @@ def bgc_source_sink(
     *,
     compute_diags: bool = True,
     carbonate_impl: str = "auto",
+    env: Optional[EnvCache] = None,
 ) -> BGCSourceSinkOut:
     """Tendencies (1/s units of each tracer) + updated pH state + diags.
+
+    ``env``: optional precomputed forcing-invariant coefficient tables
+    (:func:`precompute_env`) — results equal to refusion ulps, ~2/3 of
+    the step's transcendentals skipped.  Valid while (T, S, grid) are those
+    the cache was built from; the ``carbonate_impl="pallas"`` kernel
+    computes its coefficients in-VMEM and ignores ``env.coeffs`` (the
+    other tables still apply).
 
     ``carbonate_impl``:
 
@@ -963,9 +1034,14 @@ def bgc_source_sink(
         ((ph_3d, h2co3, hco3, co3),
          (ph_3d_alt, h2co3_alt, hco3_alt, co3_alt)) = co3_terms_dual(
             depth_m, temp_s, salt_s, dic_s, alk_s, po4, sio3,
-            phlo, phhi, phlo_alt, phhi_alt, subsurface)
-        co3_sat_calc, co3_sat_arag = co3_sat_vals(
-            depth_m, temp_s, salt_s, subsurface)
+            phlo, phhi, phlo_alt, phhi_alt, subsurface,
+            coeffs=env.coeffs if env is not None else None)
+        if env is not None:
+            co3_sat_calc = env.co3_sat_calc
+            co3_sat_arag = env.co3_sat_arag
+        else:
+            co3_sat_calc, co3_sat_arag = co3_sat_vals(
+                depth_m, temp_s, salt_s, subsurface)
 
     ph_new = jnp.where(active, ph_3d, ph_prev_3d)
     ph_alt_new = jnp.where(active, ph_3d_alt, ph_prev_alt_3d)
@@ -980,7 +1056,9 @@ def bgc_source_sink(
 
     # ---- the batched ecosystem kinetics (BGC_mod.F90:826-1529) ----
     kin = ecosystem_kinetics(tr, temp, dz, center, active, lat,
-                             par_surf[None, :], params)
+                             par_surf[None, :], params,
+                             tfunc=env.tfunc if env is not None
+                             else None)
 
     # ------------------------------------------------------------------
     # Sinking-particle recurrence — the ONLY remaining sequential level
@@ -997,6 +1075,9 @@ def bgc_source_sink(
         dz=dz, bottom=bottom, fesedflux=forcing.fesedflux,
         is_bottom=is_bottom, active=active,
     )
+    if env is not None:
+        # the scan slices each cache leaf into this level's row
+        scan_xs["diss"] = env.diss
 
     def particle_step(carry, x):
         # iron scavenging scales with the sinking mass flux *entering*
@@ -1018,7 +1099,8 @@ def bgc_source_sink(
         new_carry, pt = particulate_level_update(
             carry, x["poc_prod"], x["caco3_prod"], x["sio2_prod"],
             fe_prod, x["temp"], x["o2"], x["no3"], x["dz"], x["bottom"],
-            x["fesedflux"], x["is_bottom"], x["active"], params)
+            x["fesedflux"], x["is_bottom"], x["active"], params,
+            diss=x.get("diss"))
         if compute_diags:
             # diagnostics read the full per-level output, the scavenging
             # rate, and the incoming carry (FLUX_IN fields)

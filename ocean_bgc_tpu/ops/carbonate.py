@@ -503,7 +503,8 @@ def co3_terms(depth_m, temp, salt, dic_in, ta_in, pt_in, sit_in,
 
 
 def co3_terms_dual(depth_m, temp, salt, dic_in, ta_in, pt_in, sit_in,
-                   phlo_a, phhi_a, phlo_b, phhi_b, apply_pressure):
+                   phlo_a, phhi_a, phlo_b, phhi_b, apply_pressure,
+                   *, coeffs: CarbCoeffs = None):
     """Two pH solves of the SAME (DIC, TA) cell from two warm-start
     brackets — the reference's ambient + ALT_CO2 interior pattern
     (BGC_mod.F90:952-978).  The equilibrium coefficients depend only on
@@ -512,10 +513,15 @@ def co3_terms_dual(depth_m, temp, salt, dic_in, ta_in, pt_in, sit_in,
     lane batch so their solver iterations merge into a single masked
     while_loop.  Bit-identical results to two co3_terms calls.
 
+    ``coeffs``: optionally supply precomputed equilibrium constants
+    (the forcing-invariant coefficient cache, ops/bgc.py::EnvCache) —
+    the cache evaluates the same expressions on the same inputs.
+
     Returns ((ph, h2co3, hco3, co3) for bracket a, same for bracket b).
     """
-    coeffs = carbonate_coeffs(depth_m, temp, salt, apply_pressure,
-                              k1_k2_ph_tot=True)
+    if coeffs is None:
+        coeffs = carbonate_coeffs(depth_m, temp, salt, apply_pressure,
+                                  k1_k2_ph_tot=True)
     dic, ta, pt, sit = _to_mass_units(dic_in, ta_in, pt_in, sit_in)
 
     if dic.dtype == jnp.float32 or _DUAL_STACK_F64:

@@ -148,6 +148,49 @@ def scalelength_explicit(cell_bottom_depth, params: BGCParams):
     return jnp.where(cell_bottom_depth > z[-1], v[-1], out)
 
 
+class DissolutionCache(NamedTuple):
+    """The (T, grid)-dependent dissolution factors of the sinking scheme
+    (BGC_mod.F90:2288-2338) — invariant across timesteps while the
+    forcing snapshot is held, so callers integrating with constant
+    forcing precompute them once (:func:`precompute_dissolution`) and
+    skip their exponentials every step.  Same expressions, same
+    values; downstream results shift by XLA scan-body refusion ulps
+    only (~1e-14 relative at f64 — the same class as the pinned
+    unroll=4 refusion, tests/test_env_cache.py).  The POC dissolution
+    length is NOT here: it depends on the evolving O2 tracer."""
+
+    scalelength: jax.Array
+    decay_hard: jax.Array
+    decay_hard_dust: jax.Array
+    decay_caco3: jax.Array
+    caco3_diss: jax.Array
+    decay_sio2: jax.Array
+    sio2_diss: jax.Array
+    decay_dust: jax.Array
+
+
+def precompute_dissolution(temp, cell_thickness, cell_bottom_depth,
+                           params: BGCParams,
+                           scalelength_fn=None) -> DissolutionCache:
+    """Evaluate the forcing-invariant dissolution factors, with exactly
+    the expressions :func:`particulate_level_update` uses in-step."""
+    if scalelength_fn is None:
+        scalelength_fn = _scalelength
+    dz = cell_thickness
+    scalelength = scalelength_fn(cell_bottom_depth, params)
+    tfuncs = TFUNCS_Q10 ** ((temp - TREF) / 10.0)
+    sio2_diss = scalelength * params.parm_SiO2_diss / tfuncs
+    caco3_diss = scalelength * params.parm_CaCO3_diss
+    dust_diss = scalelength * DUST_DISS
+    return DissolutionCache(
+        scalelength=scalelength,
+        decay_hard=jnp.exp(-dz / DECAY_HARD_SCALE),
+        decay_hard_dust=jnp.exp(-dz / DECAY_HARD_DUST_SCALE),
+        decay_caco3=jnp.exp(-dz / caco3_diss), caco3_diss=caco3_diss,
+        decay_sio2=jnp.exp(-dz / sio2_diss), sio2_diss=sio2_diss,
+        decay_dust=jnp.exp(-dz / dust_diss))
+
+
 def particulate_level_update(
     carry: ParticleCarry,
     poc_prod, caco3_prod, sio2_prod, fe_prod,   # (ncol,) production terms
@@ -159,13 +202,16 @@ def particulate_level_update(
     params: BGCParams,
     *,
     scalelength_fn=None,
+    diss: DissolutionCache = None,
 ) -> Tuple[ParticleCarry, ParticleLevelOut]:
     """One level of the sinking recurrence (compute_particulate_terms,
     BGC_mod.F90:2116-2699).  Returns the carry for the next level and the
     per-level remineralization/burial terms.
 
     ``scalelength_fn`` swaps the knot-table interpolation implementation
-    (the fused Pallas kernel passes :func:`scalelength_explicit`)."""
+    (the fused Pallas kernel passes :func:`scalelength_explicit`);
+    ``diss`` supplies this level's precomputed forcing-invariant
+    dissolution factors (ulp-identical fast path)."""
     if scalelength_fn is None:
         scalelength_fn = _scalelength
 
@@ -180,10 +226,24 @@ def particulate_level_update(
     fe_s_in, fe_h_in = carry.fe_s, carry.fe_h
 
     # dissolution length scales (BGC_mod.F90:2288-2338)
-    scalelength = scalelength_fn(cell_bottom_depth, params)
-    decay_hard = jnp.exp(-dz / DECAY_HARD_SCALE)
-    decay_hard_dust = jnp.exp(-dz / DECAY_HARD_DUST_SCALE)
-    tfuncs = TFUNCS_Q10 ** ((temp - TREF) / 10.0)
+    if diss is None:
+        scalelength = scalelength_fn(cell_bottom_depth, params)
+        decay_hard = jnp.exp(-dz / DECAY_HARD_SCALE)
+        decay_hard_dust = jnp.exp(-dz / DECAY_HARD_DUST_SCALE)
+        tfuncs = TFUNCS_Q10 ** ((temp - TREF) / 10.0)
+        sio2_diss = scalelength * params.parm_SiO2_diss / tfuncs
+        caco3_diss = scalelength * params.parm_CaCO3_diss
+        dust_diss = scalelength * DUST_DISS
+        decay_sio2 = jnp.exp(-dz / sio2_diss)
+        decay_caco3 = jnp.exp(-dz / caco3_diss)
+        decay_dust = jnp.exp(-dz / dust_diss)
+    else:
+        scalelength = diss.scalelength
+        decay_hard = diss.decay_hard
+        decay_hard_dust = diss.decay_hard_dust
+        decay_caco3, caco3_diss = diss.decay_caco3, diss.caco3_diss
+        decay_sio2, sio2_diss = diss.decay_sio2, diss.sio2_diss
+        decay_dust = diss.decay_dust
 
     # O2-dependent POC dissolution lengthening (BGC_mod.F90:2311-2315);
     # dtype-pinned scalar branches (see the _lit_fac note in ops/bgc.py)
@@ -196,14 +256,7 @@ def particulate_level_update(
                   jnp.asarray(params.parm_POC_diss * 3.3, dt), poc_diss))
 
     poc_diss = scalelength * poc_diss
-    sio2_diss = scalelength * params.parm_SiO2_diss / tfuncs
-    caco3_diss = scalelength * params.parm_CaCO3_diss
-    dust_diss = scalelength * DUST_DISS
-
     decay_poc_e = jnp.exp(-dz / poc_diss)
-    decay_sio2 = jnp.exp(-dz / sio2_diss)
-    decay_caco3 = jnp.exp(-dz / caco3_diss)
-    decay_dust = jnp.exp(-dz / dust_diss)
 
     # ballast out-fluxes: analytic solution of constant-source linear-decay
     # ODE across the cell (BGC_mod.F90:2349-2365)

@@ -1,0 +1,102 @@
+"""Forcing-invariant coefficient tables (the env cache).
+
+The cache evaluates exactly the expressions the in-step code would, on
+the same inputs.  Removing the coefficient ops from the level-scan body
+changes XLA's per-body refusion, so results shift by a few ulps (the
+same class as the pinned unroll=4 refusion, measured ~1.6e-14 relative
+at f64) — pinned tightly here so any REAL divergence (a cache/in-step
+expression mismatch) fails loudly.
+"""
+
+import numpy as np
+
+import ocean_bgc_tpu  # noqa: F401
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ocean_bgc_tpu.models.coupled import run, step
+from ocean_bgc_tpu.ops.bgc import bgc_source_sink, precompute_env
+from ocean_bgc_tpu.params import BGCParams, ModelParams
+from ocean_bgc_tpu.utils.synthetic import synthetic_world
+
+
+@pytest.mark.parametrize("dtype", [None, jnp.float32])
+@pytest.mark.parametrize("diags", [False, True])
+def test_env_cache_bitwise(dtype, diags):
+    state, grid, forcing = synthetic_world(nlev=12, ncol=32, seed=9,
+                                           ragged=True, dtype=dtype)
+    params = BGCParams()
+    env = precompute_env(grid, forcing, params)
+
+    a = bgc_source_sink(state.bgc.tracers, grid, forcing,
+                        state.bgc.ph_prev_3d, state.bgc.ph_prev_alt_3d,
+                        params, compute_diags=diags,
+                        carbonate_impl="xla")
+    b = bgc_source_sink(state.bgc.tracers, grid, forcing,
+                        state.bgc.ph_prev_3d, state.bgc.ph_prev_alt_3d,
+                        params, compute_diags=diags,
+                        carbonate_impl="xla", env=env)
+
+    # f32 refusion shifts reach ~1e-5 relative on near-cancellation
+    # cells (abs ~5e-14); f64 stays at ~1e-14 relative
+    rtol = 1e-12 if dtype is None else 5e-5
+    atol = 1e-280 if dtype is None else 1e-12
+    np.testing.assert_allclose(np.asarray(a.tendencies),
+                               np.asarray(b.tendencies),
+                               rtol=rtol, atol=atol)
+    np.testing.assert_allclose(np.asarray(a.ph_prev_3d),
+                               np.asarray(b.ph_prev_3d),
+                               rtol=rtol, atol=atol)
+    np.testing.assert_allclose(np.asarray(a.ph_prev_alt_3d),
+                               np.asarray(b.ph_prev_alt_3d),
+                               rtol=rtol, atol=atol)
+    for k in a.diags:
+        if k.startswith("Jint"):
+            # conservation integrals are ~0 by construction: pure
+            # cancellation of large terms, so only an absolute
+            # comparison at the conservation noise floor is meaningful
+            np.testing.assert_allclose(
+                np.asarray(a.diags[k]), np.asarray(b.diags[k]),
+                rtol=0.0, atol=1e-13 if dtype is None else 0.1,
+                err_msg=k)
+        else:
+            np.testing.assert_allclose(np.asarray(a.diags[k]),
+                                       np.asarray(b.diags[k]),
+                                       rtol=rtol, atol=atol, err_msg=k)
+
+
+def test_env_cache_bitwise_jitted_step():
+    """Same property through the jitted coupled step (the bench path)."""
+    state, grid, forcing = synthetic_world(nlev=10, ncol=16, seed=2,
+                                           ragged=True)
+    params = ModelParams()
+    env = precompute_env(grid, forcing, params.bgc)
+
+    s1, _ = jax.jit(lambda s: step(s, grid, forcing, params, 3600.0,
+                                   compute_diags=False))(state)
+    s2, _ = jax.jit(lambda s: step(s, grid, forcing, params, 3600.0,
+                                   compute_diags=False, env=env))(state)
+    np.testing.assert_allclose(np.asarray(s1.bgc.tracers),
+                               np.asarray(s2.bgc.tracers),
+                               rtol=1e-12, atol=1e-280)
+    np.testing.assert_allclose(np.asarray(s1.bgc.ph_prev_3d),
+                               np.asarray(s2.bgc.ph_prev_3d),
+                               rtol=1e-12, atol=0.0)
+
+
+def test_run_env_cache_default():
+    """run() hoists the cache outside its scan by default; the 5-step
+    trajectory agrees with env_cache=False to amplified refusion ulps."""
+    state, grid, forcing = synthetic_world(nlev=8, ncol=12, seed=6,
+                                           ragged=True)
+    params = ModelParams()
+    a, _ = jax.jit(lambda s: run(s, grid, forcing, params, 3600.0, 5,
+                                 env_cache=True))(state)
+    b, _ = jax.jit(lambda s: run(s, grid, forcing, params, 3600.0, 5,
+                                 env_cache=False))(state)
+    np.testing.assert_allclose(np.asarray(a.bgc.tracers),
+                               np.asarray(b.bgc.tracers),
+                               rtol=1e-10, atol=1e-280)
+    np.testing.assert_allclose(np.asarray(a.dms), np.asarray(b.dms),
+                               rtol=1e-10, atol=1e-280)
