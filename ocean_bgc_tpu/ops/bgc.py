@@ -937,9 +937,10 @@ def bgc_source_sink(
     ``env``: optional precomputed forcing-invariant coefficient tables
     (:func:`precompute_env`) — results equal to refusion ulps, ~2/3 of
     the step's transcendentals skipped.  Valid while (T, S, grid) are those
-    the cache was built from; the ``carbonate_impl="pallas"`` kernel
-    computes its coefficients in-VMEM and ignores ``env.coeffs`` (the
-    other tables still apply).
+    the cache was built from.  With ``carbonate_impl="pallas"`` the
+    kernel reads the cached constants (cast to f32) instead of
+    evaluating them, and the cached saturation values replace the
+    kernel's.
 
     ``carbonate_impl``:
 
@@ -1018,18 +1019,34 @@ def bgc_source_sink(
     if carbonate_impl == "pallas":
         from ocean_bgc_tpu.ops.pallas_carbonate import (
             co3_terms_dual_sat_pallas)
+        dt = tracers.dtype
+        if env is not None:
+            # the kernel reads the cached equilibrium constants instead
+            # of evaluating their 11 exponentials per cell, and the
+            # (cached) saturation values drop out of it entirely
+            coeffs32 = CarbCoeffs(*(v.astype(jnp.float32)
+                                    for v in env.coeffs))
+            sat_pair = None
+        else:
+            coeffs32 = None
         ((ph_3d, h2co3, hco3, co3),
          (ph_3d_alt, h2co3_alt, hco3_alt, co3_alt),
-         (co3_sat_calc, co3_sat_arag)) = co3_terms_dual_sat_pallas(
+         sat_pair) = co3_terms_dual_sat_pallas(
             depth_m, temp_s, salt_s, dic_s, alk_s, po4, sio3,
             phlo, phhi, phlo_alt, phhi_alt,
-            jnp.broadcast_to(subsurface, dic_s.shape))
-        dt = tracers.dtype
+            jnp.broadcast_to(subsurface, dic_s.shape),
+            coeffs=coeffs32, with_sat=env is None)
+        if env is not None:
+            co3_sat_calc = env.co3_sat_calc.astype(dt)
+            co3_sat_arag = env.co3_sat_arag.astype(dt)
+        else:
+            co3_sat_calc, co3_sat_arag = (x.astype(dt)
+                                          for x in sat_pair)
         (ph_3d, h2co3, hco3, co3, ph_3d_alt, h2co3_alt, hco3_alt,
-         co3_alt, co3_sat_calc, co3_sat_arag) = (
+         co3_alt) = (
             x.astype(dt) for x in
             (ph_3d, h2co3, hco3, co3, ph_3d_alt, h2co3_alt, hco3_alt,
-             co3_alt, co3_sat_calc, co3_sat_arag))
+             co3_alt))
     else:
         ((ph_3d, h2co3, hco3, co3),
          (ph_3d_alt, h2co3_alt, hco3_alt, co3_alt)) = co3_terms_dual(

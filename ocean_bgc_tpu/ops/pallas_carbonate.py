@@ -12,6 +12,12 @@ saturation values — resident in VMEM, with cells laid out on the VPU lanes
 of the 12 input fields and one write of the 10 outputs per cell; every
 Newton iterate lives on-chip.
 
+With the forcing-invariant coefficient cache (ops/bgc.py::EnvCache) the
+kernel instead READS the 15 precomputed equilibrium constants and skips
+their 11 exponentials — the winning trade for the compute-bound f32 step
+(docs/BENCHMARKS.md round 3) — and the saturation values (cached too)
+drop out of the kernel entirely (``with_sat=False``).
+
 float32 only: Mosaic has no f64 story, and the f64 contract path keeps the
 XLA implementation (bit-identical to the oracle).  The math is shared —
 the kernel body calls the same :mod:`ocean_bgc_tpu.ops.carbonate` routines
@@ -31,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ocean_bgc_tpu.ops.carbonate import (
+    CarbCoeffs,
     _solve_htotal_impl,
     _to_mass_units,
     carbonate_coeffs,
@@ -50,21 +57,27 @@ _PAD_VALUES = {
 }
 _ARG_ORDER = ("depth", "temp", "salt", "dic", "ta", "pt", "sit",
               "phlo_a", "phhi_a", "phlo_b", "phhi_b", "press")
+_N_COEFFS = len(CarbCoeffs._fields)
 
 
-def _carbonate_kernel(depth_ref, temp_ref, salt_ref, dic_ref, ta_ref,
-                      pt_ref, sit_ref, phlo_a_ref, phhi_a_ref,
-                      phlo_b_ref, phhi_b_ref, press_ref,
-                      ph_a_ref, h2co3_a_ref, hco3_a_ref, co3_a_ref,
-                      ph_b_ref, h2co3_b_ref, hco3_b_ref, co3_b_ref,
-                      sat_calc_ref, sat_arag_ref, *, stack_dual):
+def _carbonate_kernel(*refs, stack_dual, coeffs_in, with_sat):
+    n_in = 12 + (_N_COEFFS if coeffs_in else 0)
+    ins, outs = refs[:n_in], refs[n_in:]
+    (depth_ref, temp_ref, salt_ref, dic_ref, ta_ref, pt_ref, sit_ref,
+     phlo_a_ref, phhi_a_ref, phlo_b_ref, phhi_b_ref, press_ref) = ins[:12]
+    (ph_a_ref, h2co3_a_ref, hco3_a_ref, co3_a_ref,
+     ph_b_ref, h2co3_b_ref, hco3_b_ref, co3_b_ref) = outs[:8]
+
     depth = depth_ref[:]
     temp = temp_ref[:]
     salt = salt_ref[:]
     apply_pressure = press_ref[:] > 0.5
 
-    coeffs = carbonate_coeffs(depth, temp, salt, apply_pressure,
-                              k1_k2_ph_tot=True)
+    if coeffs_in:
+        coeffs = CarbCoeffs(*(r[:] for r in ins[12:]))
+    else:
+        coeffs = carbonate_coeffs(depth, temp, salt, apply_pressure,
+                                  k1_k2_ph_tot=True)
     dic, ta, pt, sit = _to_mass_units(dic_ref[:], ta_ref[:], pt_ref[:],
                                       sit_ref[:])
 
@@ -118,14 +131,18 @@ def _carbonate_kernel(depth_ref, temp_ref, salt_ref, dic_ref, ta_ref,
             coeffs, dic, ta, pt, sit,
             jnp.exp(-ln10 * phhi_b_ref[:]), jnp.exp(-ln10 * phlo_b_ref[:]))
         speciate(h_b, (ph_b_ref, h2co3_b_ref, hco3_b_ref, co3_b_ref))
-    sat_calc_ref[:], sat_arag_ref[:] = co3_sat_vals(
-        depth, temp, salt, apply_pressure)
+    if with_sat:
+        sat_calc_ref, sat_arag_ref = outs[8:]
+        sat_calc_ref[:], sat_arag_ref[:] = co3_sat_vals(
+            depth, temp, salt, apply_pressure)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("block_rows", "interpret",
-                                    "stack_dual"))
-def _dual_sat_padded(args_2d, block_rows, interpret, stack_dual):
+                                    "stack_dual", "coeffs_in",
+                                    "with_sat"))
+def _dual_sat_padded(args_2d, block_rows, interpret, stack_dual,
+                     coeffs_in, with_sat):
     rows = args_2d[0].shape[0]
     # np.int32(0), not 0: with jax_enable_x64 the literal becomes an i64
     # scalar in the index-map mini-function, which Mosaic cannot return
@@ -145,12 +162,14 @@ def _dual_sat_padded(args_2d, block_rows, interpret, stack_dual):
                                      vma=vma)
     else:
         shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+    n_out = 10 if with_sat else 8
     return pl.pallas_call(
-        functools.partial(_carbonate_kernel, stack_dual=stack_dual),
+        functools.partial(_carbonate_kernel, stack_dual=stack_dual,
+                          coeffs_in=coeffs_in, with_sat=with_sat),
         grid=(rows // block_rows,),
         in_specs=[spec] * len(args_2d),
-        out_specs=(spec,) * 10,
-        out_shape=(shape,) * 10,
+        out_specs=(spec,) * n_out,
+        out_shape=(shape,) * n_out,
         interpret=interpret,
     )(*args_2d)
 
@@ -158,8 +177,10 @@ def _dual_sat_padded(args_2d, block_rows, interpret, stack_dual):
 def co3_terms_dual_sat_pallas(depth_m, temp, salt, dic, ta, pt, sit,
                               phlo_a, phhi_a, phlo_b, phhi_b,
                               apply_pressure, *, block_rows=None,
-                              stack_dual=False, interpret=None):
-    """Fused fp32 dual carbonate solve + saturation values, one Pallas
+                              stack_dual=False, interpret=None,
+                              coeffs: CarbCoeffs = None,
+                              with_sat: bool = True):
+    """Fused fp32 dual carbonate solve (+ saturation values), one Pallas
     kernel over all cells.
 
     Drop-in for the hoisted block in ``bgc_source_sink``: semantically
@@ -170,9 +191,15 @@ def co3_terms_dual_sat_pallas(depth_m, temp, salt, dic, ta, pt, sit,
     Inputs may be any (broadcastable-to-common) shape; outputs match the
     broadcast shape.  ``apply_pressure`` is the per-cell subsurface gate.
 
+    ``coeffs``: precomputed equilibrium constants (the forcing-invariant
+    cache) — the kernel reads them instead of evaluating their 11
+    exponentials per cell.  ``with_sat=False`` skips the saturation
+    values (they are forcing-invariant too; cached callers already have
+    them) and returns ``None`` in their slot.
+
     Returns ``((ph_a, h2co3_a, hco3_a, co3_a),
                (ph_b, h2co3_b, hco3_b, co3_b),
-               (co3_sat_calc, co3_sat_arag))``.
+               (co3_sat_calc, co3_sat_arag) | None)``.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -192,14 +219,24 @@ def co3_terms_dual_sat_pallas(depth_m, temp, salt, dic, ta, pt, sit,
     tile = block_rows * _LANES
     n_pad = -(-max(n, 1) // tile) * tile
 
-    flat = []
-    for name in _ARG_ORDER:
-        v = jnp.broadcast_to(jnp.asarray(named[name], jnp.float32),
+    def flatten(v, pad_value=None):
+        v = jnp.broadcast_to(jnp.asarray(v, jnp.float32),
                              shape).reshape(-1)
-        v = jnp.pad(v, (0, n_pad - n), constant_values=_PAD_VALUES[name])
-        flat.append(v.reshape(n_pad // _LANES, _LANES))
+        if pad_value is None:
+            # edge padding: pad lanes replicate the last real cell, so
+            # the solver converges on them like any other
+            v = jnp.pad(v, (0, n_pad - n), mode="edge")
+        else:
+            v = jnp.pad(v, (0, n_pad - n), constant_values=pad_value)
+        return v.reshape(n_pad // _LANES, _LANES)
+
+    flat = [flatten(named[name], _PAD_VALUES[name])
+            for name in _ARG_ORDER]
+    if coeffs is not None:
+        flat.extend(flatten(v) for v in coeffs)
 
     outs = _dual_sat_padded(tuple(flat), block_rows, interpret,
-                            stack_dual)
+                            stack_dual, coeffs is not None, with_sat)
     outs = [o.reshape(-1)[:n].reshape(shape) for o in outs]
-    return tuple(outs[0:4]), tuple(outs[4:8]), tuple(outs[8:10])
+    sat = tuple(outs[8:10]) if with_sat else None
+    return tuple(outs[0:4]), tuple(outs[4:8]), sat

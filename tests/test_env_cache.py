@@ -66,6 +66,32 @@ def test_env_cache_bitwise(dtype, diags):
                                        rtol=rtol, atol=atol, err_msg=k)
 
 
+def test_env_cache_pallas_carbonate():
+    """The coefficient-fed Pallas carbonate kernel (interpret mode on
+    CPU) agrees with the compute-in-kernel variant to f32 tolerance."""
+    state, grid, forcing = synthetic_world(nlev=8, ncol=16, seed=13,
+                                           ragged=True,
+                                           dtype=jnp.float32)
+    params = BGCParams()
+    env = precompute_env(grid, forcing, params)
+
+    a = bgc_source_sink(state.bgc.tracers, grid, forcing,
+                        state.bgc.ph_prev_3d, state.bgc.ph_prev_alt_3d,
+                        params, compute_diags=True,
+                        carbonate_impl="pallas")
+    b = bgc_source_sink(state.bgc.tracers, grid, forcing,
+                        state.bgc.ph_prev_3d, state.bgc.ph_prev_alt_3d,
+                        params, compute_diags=True,
+                        carbonate_impl="pallas", env=env)
+    np.testing.assert_allclose(np.asarray(a.ph_prev_3d),
+                               np.asarray(b.ph_prev_3d),
+                               rtol=0.0, atol=5e-5)
+    for k in ("CO3", "co3_sat_calc", "co3_sat_arag", "pH_3D"):
+        np.testing.assert_allclose(np.asarray(a.diags[k]),
+                                   np.asarray(b.diags[k]),
+                                   rtol=2e-4, atol=1e-8, err_msg=k)
+
+
 def test_env_cache_bitwise_jitted_step():
     """Same property through the jitted coupled step (the bench path)."""
     state, grid, forcing = synthetic_world(nlev=10, ncol=16, seed=2,
