@@ -27,7 +27,7 @@ import jax
 
 def _throughput(device, ncol, nlev, nsteps, repeats, compute_diags,
                 dtype=None, carbonate_impl="xla", diag_dtype=None,
-                interior_impl="auto"):
+                interior_impl="auto", use_env=True):
     from ocean_bgc_tpu.models.coupled import step
     from ocean_bgc_tpu.params import ModelParams
     from ocean_bgc_tpu.utils.synthetic import synthetic_world
@@ -40,10 +40,11 @@ def _throughput(device, ncol, nlev, nsteps, repeats, compute_diags,
     # forcing-invariant coefficient tables, evaluated once per forcing
     # snapshot (the production regime: tracer dt << forcing dt) —
     # equal to in-step evaluation to refusion ulps
-    # (tests/test_env_cache.py); BENCH_ENV=0 measures the
-    # recompute-everything step
+    # (tests/test_env_cache.py); use_env=False measures the
+    # recompute-everything step (the reference's own semantics:
+    # constants re-evaluated every call, co2calc.F90:285-320)
     env = None
-    if os.environ.get("BENCH_ENV", "1") == "1":
+    if use_env:
         from ocean_bgc_tpu.ops.bgc import precompute_env
         env = jax.jit(lambda g, f: precompute_env(g, f, params.bgc))(
             grid, forcing)

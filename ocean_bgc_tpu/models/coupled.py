@@ -300,6 +300,15 @@ def run(
     ``(final state, diags, TavgState)`` — the running sums live in the
     scan carry, and XLA dead-code-eliminates every diagnostic that is
     not tracked, so a 3-field history costs 3 fields, not ~155.
+
+    ``env_cache``: hoist the forcing-invariant coefficient tables out
+    of the scan.  **Default True since round 2** — a behavior change
+    for pre-existing callers: results shift from the recompute-
+    everything step by XLA-refusion ulps (~1e-14 relative at f64,
+    amplified along chaotic trajectories), qualified by
+    tests/test_env_cache.py and inside every correctness gate.  Pass
+    ``env_cache=False`` to reproduce per-step recomputation (the
+    reference's semantics, co2calc.F90:285-320) bit-for-bit.
     """
     from ocean_bgc_tpu.utils.history import TavgState
 

@@ -1,1 +1,1 @@
-from ocean_bgc_tpu.ops import carbonate, par, schmidt  # noqa: F401
+from ocean_bgc_tpu.ops import carbonate, schmidt  # noqa: F401

@@ -211,6 +211,62 @@ class EnvCache(NamedTuple):
     co3_sat_arag: jax.Array
     tfunc: jax.Array           # ecosystem Q10 response
     diss: DissolutionCache     # sinking-scheme decay factors
+    fingerprint: Optional[jax.Array] = None   # checksum of (T,S,grid)
+
+
+def env_fingerprint(grid: ColumnGrid, forcing: BGCForcing) -> jax.Array:
+    """Cheap order-sensitive checksum of every input the
+    :class:`EnvCache` tables depend on — (T, S) and the grid geometry.
+    Two forcing snapshots that differ anywhere produce different
+    fingerprints (up to float roundoff); used by the staleness guard
+    below.  Shape (5,), dtype of the forcing temperature."""
+    dt = forcing.potential_temperature.dtype
+
+    def chk(a):
+        a = a.reshape(-1).astype(dt)
+        w = (jnp.arange(a.size, dtype=dt) % 97.0) + 1.0
+        return jnp.dot(a, w) / a.size
+
+    return jnp.stack([chk(forcing.potential_temperature),
+                      chk(forcing.salinity),
+                      chk(grid.cell_thickness),
+                      chk(grid.cell_bottom_depth),
+                      chk(grid.kmax)])
+
+
+def _env_check_enabled() -> bool:
+    """The staleness check is opt-in (debug mode): OBGC_CHECK_ENV=1.
+    Read per call so tests/hosts can flip it without reimporting."""
+    return os.environ.get("OBGC_CHECK_ENV", "0") == "1"
+
+
+def _raise_if_env_stale(rel_err, tol):
+    if rel_err > tol:
+        raise ValueError(
+            f"stale EnvCache: the (T, S, grid) fingerprint differs from "
+            f"the cache's by {float(rel_err):.3e} (tol {tol:.1e}).  The "
+            f"forcing or grid changed since precompute_env() — rebuild "
+            f"the cache (ops/bgc.py::precompute_env) or pass env=None.")
+
+
+def check_env_cache(env: EnvCache, grid: ColumnGrid,
+                    forcing: BGCForcing) -> None:
+    """Verify that ``env`` was built from this (grid, forcing) pair;
+    raises ValueError if stale.  Called automatically by
+    :func:`bgc_source_sink` under ``OBGC_CHECK_ENV=1`` (eagerly when
+    possible, via a host callback when traced); hosts with their own
+    forcing cadence can call it directly at each forcing update."""
+    if env.fingerprint is None:
+        raise ValueError("EnvCache has no fingerprint (built by a "
+                         "pre-round-3 precompute_env?) — rebuild it.")
+    live = env_fingerprint(grid, forcing)
+    tol = 1e-5 if live.dtype == jnp.float32 else 1e-10
+    fp = env.fingerprint.astype(live.dtype)
+    rel = jnp.max(jnp.abs(live - fp) / (1.0 + jnp.abs(fp)))
+    try:
+        _raise_if_env_stale(float(rel), tol)           # eager path
+    except jax.errors.ConcretizationTypeError:
+        jax.debug.callback(_raise_if_env_stale, rel, tol)  # traced path
 
 
 def precompute_env(grid: ColumnGrid, forcing: BGCForcing,
@@ -218,7 +274,15 @@ def precompute_env(grid: ColumnGrid, forcing: BGCForcing,
     """Evaluate the forcing-invariant tables of :class:`EnvCache`, with
     exactly the masked stand-ins and pressure gating the in-step code
     uses (bgc_source_sink; equivalence pinned at refusion-ulp level
-    by tests/test_env_cache.py)."""
+    by tests/test_env_cache.py).
+
+    **Invalidation contract**: the returned cache is valid exactly as
+    long as (T, S, grid) keep the values passed here; using it after
+    the host moves its forcing silently yields wrong equilibrium
+    constants/tfunc/dissolution decays.  A fingerprint of those inputs
+    is stored on the cache, and ``OBGC_CHECK_ENV=1`` makes every
+    consuming :func:`bgc_source_sink` call verify it
+    (:func:`check_env_cache`)."""
     nlev = grid.nlev
     active = grid.active_mask()
     temp = forcing.potential_temperature
@@ -236,7 +300,8 @@ def precompute_env(grid: ColumnGrid, forcing: BGCForcing,
     diss = precompute_dissolution(temp, grid.cell_thickness,
                                   grid.cell_bottom_depth, params)
     return EnvCache(coeffs=coeffs, co3_sat_calc=sat_calc,
-                    co3_sat_arag=sat_arag, tfunc=tfunc, diss=diss)
+                    co3_sat_arag=sat_arag, tfunc=tfunc, diss=diss,
+                    fingerprint=env_fingerprint(grid, forcing))
 
 
 class EcosystemKinetics(NamedTuple):
@@ -956,6 +1021,8 @@ def bgc_source_sink(
     """
 
     nlev, _, ncol = tracers.shape
+    if env is not None and _env_check_enabled():
+        check_env_cache(env, grid, forcing)
     carbonate_impl = resolve_carbonate_impl(carbonate_impl,
                                             tracers.dtype)
     autos = params.autotrophs
@@ -1026,7 +1093,6 @@ def bgc_source_sink(
             # (cached) saturation values drop out of it entirely
             coeffs32 = CarbCoeffs(*(v.astype(jnp.float32)
                                     for v in env.coeffs))
-            sat_pair = None
         else:
             coeffs32 = None
         ((ph_3d, h2co3, hco3, co3),

@@ -74,8 +74,13 @@ def dms_source_sink(
     # surface initialization (DMS_mod.F90:504-510) and the whole-column
     # PAR attenuation (DMS_mod.F90:538-551) in closed form: exclusive
     # cumulative product of the per-cell decay factors.  The reference's
-    # downward recurrence does NOT freeze below the ocean floor, so the
-    # cumulative product is unmasked — faithfully replicated.
+    # k-loop stops at the ocean floor (`do k = 1, kmax`,
+    # DMS_mod.F90:516), so cells below it never receive a PAR value —
+    # but an UNMASKED cumprod is still equivalent: a sub-floor cell's
+    # attenuation only shades cells deeper than itself (all inactive),
+    # and every tendency/diagnostic is masked by ``active`` before it
+    # leaves this function.  Pinned on a ragged world by
+    # tests/test_dms.py::test_dms_ragged_matches_oracle.
     par_surf = jnp.maximum(shortwave_surface, 0.0) * F_QSW_PAR_DMS
 
     total_chl = spChl + diatChl + diazChl + phaeoChl

@@ -313,10 +313,6 @@ def _fused_padded(args, params, block_cols, interpret, nlev):
     ncolp = args[0].shape[-1]
     i0 = np.int32(0)   # np.int32, not 0: x64 index-map literal trap
 
-    def spec2(i):
-        return pl.BlockSpec((nlev, block_cols), lambda i: (i0, i),
-                            memory_space=pltpu.VMEM)
-
     spec_tr = pl.BlockSpec((nlev, T.CNT, block_cols),
                            lambda i: (i0, i0, i),
                            memory_space=pltpu.VMEM)

@@ -46,6 +46,42 @@ def test_dms_matches_oracle(rng):
                                want_diags["zooS"], rtol=1e-12, atol=1e-22)
 
 
+def test_dms_ragged_matches_oracle(rng):
+    """Directed raggedness pin: the reference's k-loop stops at the ocean
+    floor (``do k = 1, kmax``, DMS_mod.F90:516), while the batched kernel
+    attenuates PAR with an UNMASKED cumulative product over all nlev
+    levels (ops/dms.py).  Fill the sub-floor cells with extreme
+    chlorophyll/DOC so that, if the unmasked cumprod could influence any
+    active cell, the mismatch would be enormous — then pin the full
+    tendency and diagnostic fields against the floor-stopping scalar
+    oracle at near-bitwise tolerance."""
+    tracers, dz, kmax, sst, sw = _setup(rng, nlev=24, ncol=17)
+    nlev, ncol = tracers.shape[0], tracers.shape[2]
+    below = np.arange(nlev)[:, None] >= kmax[None, :]
+    # poison every sub-floor cell: opaque chlorophyll, huge DOC/DMSP
+    poisoned = tracers.copy()
+    poisoned[:, DT.SPCHL][below] = 1.0e4
+    poisoned[:, DT.DIATCHL][below] = 1.0e4
+    poisoned[:, DT.DOC][below] = 1.0e6
+    poisoned[:, DT.DMSP][below] = 1.0e5
+    params = DMSParams()
+    active = ~below
+    tend, diags = dms_source_sink(
+        jnp.asarray(poisoned), jnp.asarray(dz), jnp.asarray(active),
+        jnp.asarray(sst), jnp.asarray(sw), params)
+    want_tend, want_diags = ref.dms_source_sink(poisoned, dz, kmax, sst,
+                                                sw, params)
+    np.testing.assert_allclose(np.asarray(tend), want_tend, rtol=1e-12,
+                               atol=1e-22)
+    for k in want_diags:
+        if k in diags:
+            np.testing.assert_allclose(np.asarray(diags[k]),
+                                       want_diags[k], rtol=1e-12,
+                                       atol=1e-22, err_msg=k)
+    # and the poison provably never reaches an active cell's PAR
+    assert np.all(np.isfinite(np.asarray(tend)))
+
+
 def test_dms_diag_registry_complete(rng):
     tracers, dz, kmax, sst, sw = _setup(rng, nlev=4, ncol=5)
     params = DMSParams()

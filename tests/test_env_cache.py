@@ -23,7 +23,7 @@ from ocean_bgc_tpu.utils.synthetic import synthetic_world
 
 @pytest.mark.parametrize("dtype", [None, jnp.float32])
 @pytest.mark.parametrize("diags", [False, True])
-def test_env_cache_bitwise(dtype, diags):
+def test_env_cache_ulp_equivalence(dtype, diags):
     state, grid, forcing = synthetic_world(nlev=12, ncol=32, seed=9,
                                            ragged=True, dtype=dtype)
     params = BGCParams()
@@ -92,7 +92,7 @@ def test_env_cache_pallas_carbonate():
                                    rtol=2e-4, atol=1e-8, err_msg=k)
 
 
-def test_env_cache_bitwise_jitted_step():
+def test_env_cache_ulp_equivalence_jitted_step():
     """Same property through the jitted coupled step (the bench path)."""
     state, grid, forcing = synthetic_world(nlev=10, ncol=16, seed=2,
                                            ragged=True)
@@ -109,6 +109,52 @@ def test_env_cache_bitwise_jitted_step():
     np.testing.assert_allclose(np.asarray(s1.bgc.ph_prev_3d),
                                np.asarray(s2.bgc.ph_prev_3d),
                                rtol=1e-12, atol=0.0)
+
+
+def test_env_cache_staleness_guard(monkeypatch):
+    """A cache built from one forcing snapshot and used after the host
+    moved (T, S) is caught by the fingerprint check (OBGC_CHECK_ENV=1),
+    eagerly and under jit; a fresh cache passes."""
+    import dataclasses
+
+    from ocean_bgc_tpu.ops.bgc import check_env_cache
+
+    monkeypatch.setenv("OBGC_CHECK_ENV", "1")
+    state, grid, forcing = synthetic_world(nlev=6, ncol=8, seed=4,
+                                           ragged=True)
+    params = BGCParams()
+    env = precompute_env(grid, forcing, params)
+    stale = dataclasses.replace(
+        forcing,
+        potential_temperature=forcing.potential_temperature + 0.5)
+
+    # fresh cache passes the guard (and the guarded call still works)
+    bgc_source_sink(state.bgc.tracers, grid, forcing,
+                    state.bgc.ph_prev_3d, state.bgc.ph_prev_alt_3d,
+                    params, compute_diags=False, env=env)
+
+    # eager call with moved forcing raises
+    with pytest.raises(ValueError, match="stale EnvCache"):
+        bgc_source_sink(state.bgc.tracers, grid, stale,
+                        state.bgc.ph_prev_3d, state.bgc.ph_prev_alt_3d,
+                        params, compute_diags=False, env=env)
+
+    # direct host-facing check too
+    with pytest.raises(ValueError, match="stale EnvCache"):
+        check_env_cache(env, grid, stale)
+
+    # traced call: the host callback surfaces the error on sync
+    fn = jax.jit(lambda t: bgc_source_sink(
+        t, grid, stale, state.bgc.ph_prev_3d, state.bgc.ph_prev_alt_3d,
+        params, compute_diags=False, env=env).ph_prev_3d)
+    with pytest.raises(Exception, match="stale EnvCache"):
+        jax.block_until_ready(fn(state.bgc.tracers))
+
+    # guard off by default: the same stale call goes through silently
+    monkeypatch.setenv("OBGC_CHECK_ENV", "0")
+    bgc_source_sink(state.bgc.tracers, grid, stale,
+                    state.bgc.ph_prev_3d, state.bgc.ph_prev_alt_3d,
+                    params, compute_diags=False, env=env)
 
 
 def test_run_env_cache_default():
