@@ -75,6 +75,7 @@ def run_forced(
     compute_diags: bool = False,
     tavg_fields=None,
     carbonate_impl: str = "auto",
+    env_mode: str = "auto",
 ):
     """Integrate ``nsteps`` under a time-varying forcing series.
 
@@ -84,6 +85,33 @@ def run_forced(
     ``interp``: "linear" blends the bracketing records, "hold" uses the
     nearest earlier record.
 
+    ``env_mode`` — the forcing-invariant coefficient tables
+    (:class:`ocean_bgc_tpu.ops.bgc.EnvCache`: the 11 equilibrium
+    constants, solubilities, Q10 responses, dissolution decays —
+    co2calc.F90:320-777 are pure (T, S, depth) functions) under a
+    time-VARYING forcing:
+
+    * ``"hold"`` — recompute the cache only when the scan crosses a
+      record boundary (a ``lax.cond`` inside the scan), so each
+      record's coefficient transcendentals are paid once instead of
+      every step.  Requires ``interp="hold"``; per-step inputs are
+      then *identical* to the uncached run's, and results agree to the
+      same refusion-ulp class as :func:`ocean_bgc_tpu.models.coupled
+      .run`'s env cache (tests/test_forcing_series.py pins it).
+    * ``"interp"`` — carry the two bracketing records' caches and
+      linearly blend the TABLES each step.  Requires
+      ``interp="linear"``.  **A qualified approximation**: blending
+      K(T0,S0) and K(T1,S1) is not K(T_blend, S_blend); the error is
+      the chord-vs-curve gap of each coefficient over one record gap
+      (second order in the record-to-record T/S change).  Qualified
+      against the exact run in tests/test_forcing_series.py; not for
+      the float64 reference-accuracy contract path.
+    * ``"off"`` — recompute everything per step (the reference's
+      semantics).
+    * ``"auto"`` (default) — ``"hold"`` when ``interp="hold"`` (exact
+      amortization), ``"off"`` when ``interp="linear"`` (the exact
+      path; opt into ``"interp"`` explicitly).
+
     Returns ``(final state, diags)`` where ``diags`` belong to the final
     step taken (its update is used — no extra evaluation).  With
     ``tavg_fields`` (see :func:`ocean_bgc_tpu.models.coupled.run`)
@@ -91,26 +119,73 @@ def run_forced(
     diagnostics time-averaged inside the compiled scan.
     """
     from ocean_bgc_tpu.models.coupled import _tavg_sums0
+    from ocean_bgc_tpu.ops.bgc import precompute_env
     from ocean_bgc_tpu.utils.history import TavgState
 
     if interp not in ("linear", "hold"):
         raise ValueError(f"unknown interp mode {interp!r}")
+    if env_mode == "auto":
+        env_mode = "hold" if interp == "hold" else "off"
+    if env_mode not in ("off", "hold", "interp"):
+        raise ValueError(f"unknown env_mode {env_mode!r}")
+    if env_mode == "hold" and interp != "hold":
+        raise ValueError("env_mode='hold' is exact only under "
+                         "interp='hold'; use env_mode='interp' (a "
+                         "qualified approximation) with linear "
+                         "interpolation")
+    if env_mode == "interp" and interp != "linear":
+        raise ValueError("env_mode='interp' blends bracketing records; "
+                         "it requires interp='linear'")
 
     track = tuple(tavg_fields) if tavg_fields is not None else ()
+    nrec = jax.tree.leaves(series)[0].shape[0]
+
+    def t_frac(i):
+        return (t0 + (i + 0.5) * dt) / record_dt
+
+    def rec_of(i):
+        return jnp.floor(jnp.clip(t_frac(i), 0, nrec - 1)
+                         ).astype(jnp.int32)
 
     def forcing_for(i):
-        t = (t0 + (i + 0.5) * dt) / record_dt
         if interp == "linear":
-            return forcing_at(series, t)
-        return forcing_record(
-            series, jnp.floor(jnp.clip(
-                t, 0, jax.tree.leaves(series)[0].shape[0] - 1)
-            ).astype(jnp.int32))
+            return forcing_at(series, t_frac(i))
+        return forcing_record(series, rec_of(i))
 
-    def one_step(s, i, want_diags):
+    def env_of(rec):
+        return precompute_env(grid, forcing_record(series, rec),
+                              params.bgc)
+
+    def env_pair_of(rec):
+        return env_of(rec), env_of(jnp.minimum(rec + 1, nrec - 1))
+
+    def refresh(prev_rec, env_c, i):
+        """Roll the cached tables forward iff step ``i`` crossed into a
+        new forcing record; returns (rec, refreshed cache carry)."""
+        rec = rec_of(i)
+        if env_mode == "hold":
+            env_c = jax.lax.cond(rec != prev_rec, env_of,
+                                 lambda r: env_c, rec)
+        else:   # interp
+            env_c = jax.lax.cond(rec != prev_rec, env_pair_of,
+                                 lambda r: env_c, rec)
+        return rec, env_c
+
+    def env_at(env_c, i):
+        """The EnvCache the step at ``i`` should consume."""
+        if env_mode == "hold":
+            return env_c
+        e0, e1 = env_c
+        t = jnp.clip(t_frac(i), 0.0, nrec - 1.0)
+        i0 = jnp.clip(jnp.floor(t), 0, nrec - 1)
+        w = t - i0
+        return jax.tree.map(
+            lambda a, b: a + (b - a) * w.astype(a.dtype), e0, e1)
+
+    def one_step(s, i, want_diags, env=None):
         return step(s, grid, forcing_for(i), params, dt,
                     compute_diags=want_diags,
-                    carbonate_impl=carbonate_impl)
+                    carbonate_impl=carbonate_impl, env=env)
 
     sums0 = (_tavg_sums0(track, state, lambda s: one_step(s, 0, True))
              if track else {})
@@ -118,17 +193,38 @@ def run_forced(
     emit_final = compute_diags and nsteps >= 1
     nscan = nsteps - 1 if emit_final else nsteps
 
-    def body(carry, i):
-        s, sums = carry
-        s2, d = one_step(s, i, bool(track))
-        return (s2, {n: sums[n] + d[n] for n in track}), None
+    if env_mode == "off":
+        def body(carry, i):
+            s, sums = carry
+            s2, d = one_step(s, i, bool(track))
+            return (s2, {n: sums[n] + d[n] for n in track}), None
 
-    (final, sums), _ = jax.lax.scan(body, (state, sums0),
-                                    jnp.arange(nscan))
-    diags: Dict[str, jax.Array] = {}
-    if emit_final:
-        final, diags = one_step(final, nsteps - 1, True)
-        sums = {n: sums[n] + diags[n] for n in track}
+        (final, sums), _ = jax.lax.scan(body, (state, sums0),
+                                        jnp.arange(nscan))
+        diags: Dict[str, jax.Array] = {}
+        if emit_final:
+            final, diags = one_step(final, nsteps - 1, True)
+            sums = {n: sums[n] + diags[n] for n in track}
+    else:
+        rec0 = rec_of(jnp.asarray(0))
+        env_c0 = env_of(rec0) if env_mode == "hold" else env_pair_of(rec0)
+
+        def body(carry, i):
+            s, sums, prev_rec, env_c = carry
+            rec, env_c = refresh(prev_rec, env_c, i)
+            s2, d = one_step(s, i, bool(track), env=env_at(env_c, i))
+            return (s2, {n: sums[n] + d[n] for n in track}, rec,
+                    env_c), None
+
+        (final, sums, last_rec, env_c), _ = jax.lax.scan(
+            body, (state, sums0, rec0, env_c0), jnp.arange(nscan))
+        diags = {}
+        if emit_final:
+            i_f = nsteps - 1
+            _, env_c = refresh(last_rec, env_c, jnp.asarray(i_f))
+            final, diags = one_step(final, i_f, True,
+                                    env=env_at(env_c, i_f))
+            sums = {n: sums[n] + diags[n] for n in track}
 
     if track:
         tavg = TavgState(sums=sums, count=jnp.asarray(nsteps, jnp.int32))

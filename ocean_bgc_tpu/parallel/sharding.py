@@ -124,19 +124,24 @@ def make_sharded_step(mesh: Mesh, params: ModelParams, dt: float, *,
 
 def make_sharded_forced_run(mesh: Mesh, params: ModelParams, dt: float,
                             nsteps: int, record_dt: float, *,
-                            interp: str = "linear"):
+                            interp: str = "linear",
+                            env_mode: str = "auto"):
     """Distributed time-varying-forcing integration: ``shard_map`` of
     :func:`ocean_bgc_tpu.models.forcing_series.run_forced` over the
     columns mesh.  The forcing series shards exactly like a snapshot
     (columns on the last axis; the time-record axis is local to every
     chip), so climatology interpolation happens on-chip with zero
-    collectives.  Returns jitted ``fn(state, grid, series) -> state'``.
+    collectives — and so does the per-record coefficient cache
+    (``env_mode``, see run_forced: each chip rolls its own shard's
+    tables forward at record boundaries).  Returns jitted
+    ``fn(state, grid, series) -> state'``.
     """
     from ocean_bgc_tpu.models.forcing_series import run_forced
 
     def local_run(state, grid, series):
         final, _ = run_forced(state, grid, series, params, dt, nsteps,
-                              record_dt, interp=interp)
+                              record_dt, interp=interp,
+                              env_mode=env_mode)
         return final
 
     def specs_like(tree):

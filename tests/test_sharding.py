@@ -104,3 +104,17 @@ def test_sharded_forced_run_matches_single_device():
     np.testing.assert_allclose(np.asarray(got.bgc.tracers),
                                np.asarray(want.bgc.tracers),
                                rtol=1e-12, atol=1e-18)
+
+    # the per-record env cache composes with shard_map: each chip rolls
+    # its own shard's tables forward at record boundaries (zero
+    # collectives), agreeing with the unsharded uncached run at the
+    # env cache's ulp-equivalence level
+    want_h, _ = run_forced(state, grid, series, params, 3600.0, nsteps,
+                           record_dt, interp="hold", env_mode="off")
+    fn_h = make_sharded_forced_run(mesh, params, 3600.0, nsteps,
+                                   record_dt, interp="hold",
+                                   env_mode="hold")
+    got_h = fn_h(state_s, grid_s, series_s)
+    np.testing.assert_allclose(np.asarray(got_h.bgc.tracers),
+                               np.asarray(want_h.bgc.tracers),
+                               rtol=1e-10, atol=1e-280)
