@@ -131,9 +131,18 @@ def evaluate_tendencies(
     interior_impl: str = "auto",
     diag_dtype=None,
     env: EnvCache = None,
+    health: bool = False,
 ) -> Tuple[CoupledTendencies, Dict[str, jax.Array]]:
     """The coupled model's right-hand side: surface fluxes + all three
     source-sink kernels, as d(state)/dt pytrees.
+
+    ``health``: add two psum-able scalar counters to the returned
+    diagnostics dict — ``health_solver_nonconverged_cells`` and
+    ``health_poc_error_cells`` (ops/bgc.py::StepHealth) — emitted even
+    with ``compute_diags=False``, so a production run can watch the
+    reference's silent failure modes (co2calc.F90:993-995's
+    fall-through, BGC_mod.F90:2296's write-only poc_error) at the cost
+    of one residual evaluation per cell.
 
     ``diag_dtype``: optional dtype (e.g. ``jnp.float32``) the emitted
     diagnostics are cast to.  All diagnostic *arithmetic* stays in the
@@ -162,6 +171,10 @@ def evaluate_tendencies(
     # ---- 2. interior tendencies ----
     if resolve_interior_impl(interior_impl, state.bgc.tracers.dtype,
                              compute_diags) == "fused":
+        if health:
+            raise ValueError("health=True is not supported with "
+                             "interior_impl='fused' (the whole-column "
+                             "kernel does not expose solver residuals)")
         from ocean_bgc_tpu.ops.pallas_step import fused_interior_step
         f = fused_interior_step(
             state.bgc.tracers, grid, forcing,
@@ -174,7 +187,7 @@ def evaluate_tendencies(
             state.bgc.tracers, grid, forcing,
             state.bgc.ph_prev_3d, state.bgc.ph_prev_alt_3d, params.bgc,
             compute_diags=compute_diags, carbonate_impl=carbonate_impl,
-            env=env)
+            env=env, health=health)
     dms_tend, dms_diags = dms_source_sink(
         dms_tracer_block(state), grid.cell_thickness, active,
         forcing.sst, forcing.shortwave_surface, params.dms)
@@ -211,6 +224,10 @@ def evaluate_tendencies(
         diags["netFlux"] = sflux.net_flux
         if diag_dtype is not None:
             diags = {k: v.astype(diag_dtype) for k, v in diags.items()}
+    if health and bgc_out.health is not None:
+        diags["health_solver_nonconverged_cells"] = (
+            bgc_out.health.solver_nonconverged_cells)
+        diags["health_poc_error_cells"] = bgc_out.health.poc_error_cells
     return tend, diags
 
 
@@ -247,6 +264,7 @@ def step(
     interior_impl: str = "auto",
     diag_dtype=None,
     env: EnvCache = None,
+    health: bool = False,
 ) -> Tuple[CoupledState, Dict[str, jax.Array]]:
     """One coupled forward-Euler timestep (the host models' standard
     coupling scheme). Returns (state', diagnostics).
@@ -254,12 +272,17 @@ def step(
     ``env``: precomputed forcing-invariant coefficient tables
     (ops/bgc.py::precompute_env) — equal to refusion ulps, skips ~2/3
     of the step's transcendentals while the forcing snapshot is
-    held."""
+    held.
+
+    ``health``: emit the two production health counters into the
+    returned diagnostics even when ``compute_diags=False`` (see
+    :func:`evaluate_tendencies`)."""
     tend, diags = evaluate_tendencies(state, grid, forcing, params,
                                       compute_diags=compute_diags,
                                       carbonate_impl=carbonate_impl,
                                       interior_impl=interior_impl,
-                                      diag_dtype=diag_dtype, env=env)
+                                      diag_dtype=diag_dtype, env=env,
+                                      health=health)
     return apply_update(state, tend, dt), diags
 
 

@@ -59,11 +59,15 @@ import jax.numpy as jnp
 from ocean_bgc_tpu import constants as c
 from ocean_bgc_tpu.ops.carbonate import (
     CarbCoeffs,
+    _to_mass_units,
     carbonate_coeffs,
     co3_sat_vals,
     co3_terms_dual,
+    talk,
 )
 from ocean_bgc_tpu.ops.particulates import (
+    RHO_CACO3,
+    RHO_SIO2,
     DissolutionCache,
     ParticleCarry,
     ParticleProdOut,
@@ -77,6 +81,23 @@ from ocean_bgc_tpu.params import BGCParams
 from ocean_bgc_tpu.state import BGCForcing, BGCTracers as T, ColumnGrid
 
 
+class StepHealth(NamedTuple):
+    """Production-run observability: the failure modes the reference
+    records but never exposes (SURVEY.md par.5).  Two psum-able scalar
+    COUNTS over active cells, cheap enough for every production step:
+
+    * ``solver_nonconverged_cells`` — cells whose next Newton correction
+      at the returned pH still exceeds 2x the solver tolerance, i.e.
+      the silent fall-through of co2calc.F90:993-995 made observable.
+    * ``poc_error_cells`` — cells violating the QA-ballast production
+      bound (the reference's write-only ``poc_error`` flag,
+      BGC_mod.F90:2296-2297, 2373-2383).
+    """
+
+    solver_nonconverged_cells: jax.Array   # scalar, state dtype
+    poc_error_cells: jax.Array             # scalar, state dtype
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BGCSourceSinkOut:
@@ -86,6 +107,7 @@ class BGCSourceSinkOut:
     ph_prev_3d: jax.Array          # (nlev, ncol) updated warm-start state
     ph_prev_alt_3d: jax.Array      # (nlev, ncol)
     diags: Dict[str, jax.Array]
+    health: Optional[StepHealth] = None
 
 
 # partially unrolling the (now particulate-only) level scan lets XLA
@@ -996,8 +1018,15 @@ def bgc_source_sink(
     compute_diags: bool = True,
     carbonate_impl: str = "auto",
     env: Optional[EnvCache] = None,
+    health: bool = False,
 ) -> BGCSourceSinkOut:
     """Tendencies (1/s units of each tracer) + updated pH state + diags.
+
+    ``health``: also emit :class:`StepHealth` (two psum-able scalar
+    counts: pH-solver non-convergence + QA-ballast bound violations) —
+    production observability, independent of ``compute_diags``.  Costs
+    one extra alkalinity-residual evaluation per cell (~1/7th of one
+    pH solve).
 
     ``env``: optional precomputed forcing-invariant coefficient tables
     (:func:`precompute_env`) — results equal to refusion ulps, ~2/3 of
@@ -1083,6 +1112,12 @@ def bgc_source_sink(
                          ph_prev_alt_3d + c.DEL_PH, c.PHHI_3D_INIT)
     # ambient + ALT_CO2 solves of the same cell (the reference's two
     # comp_CO3terms calls, BGC_mod.F90:952-978) share coefficients
+    # the health check re-evaluates the TA residual at the returned pH,
+    # which needs the equilibrium constants in scope; hoisting the same
+    # carbonate_coeffs call out of co3_terms_dual is the identical jaxpr
+    coeffs_h = env.coeffs if env is not None else (
+        carbonate_coeffs(depth_m, temp_s, salt_s, subsurface,
+                         k1_k2_ph_tot=True) if health else None)
     if carbonate_impl == "pallas":
         from ocean_bgc_tpu.ops.pallas_carbonate import (
             co3_terms_dual_sat_pallas)
@@ -1118,7 +1153,7 @@ def bgc_source_sink(
          (ph_3d_alt, h2co3_alt, hco3_alt, co3_alt)) = co3_terms_dual(
             depth_m, temp_s, salt_s, dic_s, alk_s, po4, sio3,
             phlo, phhi, phlo_alt, phhi_alt, subsurface,
-            coeffs=env.coeffs if env is not None else None)
+            coeffs=coeffs_h)
         if env is not None:
             co3_sat_calc = env.co3_sat_calc
             co3_sat_arag = env.co3_sat_arag
@@ -1142,6 +1177,28 @@ def bgc_source_sink(
                              par_surf[None, :], params,
                              tfunc=env.tfunc if env is not None
                              else None)
+
+    # ---- production health counters (SURVEY.md par.5 observability) --
+    health_out = None
+    if health:
+        if coeffs_h is None:   # pallas path without an env cache
+            coeffs_h = carbonate_coeffs(depth_m, temp_s, salt_s,
+                                        subsurface, k1_k2_ph_tot=True)
+        dic_m, ta_m, pt_m, sit_m = _to_mass_units(dic_s, alk_s, po4,
+                                                  sio3)
+        h_fin = (10.0 ** (-ph_3d)).astype(dic_m.dtype)
+        fn_h, df_h = talk(coeffs_h, dic_m, ta_m, pt_m, sit_m, h_fin)
+        # the solver's own stopping rule: next Newton correction below
+        # xacc (co2calc.F90:961-991; f32 scales it like the solver does)
+        xacc = (c.XACC if h_fin.dtype == jnp.float64
+                else jnp.asarray(1e-13, h_fin.dtype))
+        nonconv = active & (jnp.abs(fn_h / df_h) > 2.0 * xacc)
+        avail = (kin.poc_prod - RHO_CACO3 * kin.caco3_prod
+                 - RHO_SIO2 * kin.sio2_prod)
+        fdt = tracers.dtype
+        health_out = StepHealth(
+            solver_nonconverged_cells=jnp.sum(nonconv).astype(fdt),
+            poc_error_cells=jnp.sum(active & (avail < 0.0)).astype(fdt))
 
     # ------------------------------------------------------------------
     # Sinking-particle recurrence — the ONLY remaining sequential level
@@ -1374,4 +1431,5 @@ def bgc_source_sink(
         ph_prev_3d=ph_new,
         ph_prev_alt_3d=ph_alt_new,
         diags=diags,
+        health=health_out,
     )

@@ -67,9 +67,14 @@ def shard_world(state: CoupledState, grid: ColumnGrid, forcing: BGCForcing,
     return put(state), put(grid), put(forcing)
 
 
+HEALTH_DIAGS = ("health_solver_nonconverged_cells",
+                "health_poc_error_cells")
+
+
 def make_sharded_step(mesh: Mesh, params: ModelParams, dt: float, *,
                       compute_diags: bool = False, nsteps: int = 1,
-                      interior_impl: str = "auto", check_vma: bool = True):
+                      interior_impl: str = "auto", check_vma: bool = True,
+                      health: bool = False):
     """Build the distributed step: ``shard_map`` of the column physics over
     the mesh plus the psum'd global monitoring reductions.
 
@@ -79,6 +84,11 @@ def make_sharded_step(mesh: Mesh, params: ModelParams, dt: float, *,
     The fused Pallas interior (``interior_impl``, models/coupled.py)
     composes with shard_map: each chip runs the kernel on its local
     column shard; no collective crosses the kernel boundary.
+
+    ``health``: psum the two production health counters
+    (models/coupled.py ``step(..., health=True)``) into ``global_diags``
+    even with ``compute_diags=False`` — pod-wide failure observability
+    at two scalars per step.
     """
 
     def local_step(state, grid, forcing):
@@ -88,7 +98,8 @@ def make_sharded_step(mesh: Mesh, params: ModelParams, dt: float, *,
                             interior_impl=interior_impl)
         new_state, diags = step(state, grid, forcing, params, dt,
                                 compute_diags=compute_diags,
-                                interior_impl=interior_impl)
+                                interior_impl=interior_impl,
+                                health=health)
         if compute_diags:
             global_diags = {
                 name: jax.lax.psum(jnp.sum(diags[name]), COLUMNS)
@@ -96,6 +107,9 @@ def make_sharded_step(mesh: Mesh, params: ModelParams, dt: float, *,
             }
         else:
             global_diags = {}
+        if health:
+            for name in HEALTH_DIAGS:
+                global_diags[name] = jax.lax.psum(diags[name], COLUMNS)
         return new_state, global_diags
 
     def specs_like(tree):
@@ -108,13 +122,14 @@ def make_sharded_step(mesh: Mesh, params: ModelParams, dt: float, *,
         # where its iota-derived masks are unvarying against the varying
         # kmax operand.  The compiled Mosaic path is an opaque custom
         # call and passes the vma check (out_shapes carry the vma).
+        scalar_names = (tuple(GLOBAL_SUM_DIAGS) if compute_diags
+                        else ()) + (HEALTH_DIAGS if health else ())
         mapped = jax.shard_map(
             local_step, mesh=mesh,
             in_specs=(specs_like(state), specs_like(grid),
                       specs_like(forcing)),
             out_specs=(specs_like(state),
-                       {name: P() for name in GLOBAL_SUM_DIAGS}
-                       if compute_diags else {}),
+                       {name: P() for name in scalar_names}),
             check_vma=check_vma,
         )
         return mapped(state, grid, forcing)
