@@ -117,12 +117,21 @@ def _scaling_mode(ncol, nlev, nsteps):
     t1 = tput(1)
     tn = tput(len(devs))
     eff = tn / (t1 * len(devs))
-    print(json.dumps({
+    out = {
         "metric": f"weak_scaling_efficiency_1_to_{len(devs)}_devices",
         "value": round(eff, 4),
         "unit": f"fraction (columns/s: {t1:.0f} -> {tn:.0f})",
         "vs_baseline": round(eff / 0.9, 3),   # target: >90% efficiency
-    }))
+    }
+    if devs[0].platform == "cpu":
+        out["caveat"] = (
+            "virtual CPU mesh: all 'devices' share one socket's cores, "
+            "so the 1-device run already saturates them and this ratio "
+            "UNDERSTATES real scaling.  It validates the sharded "
+            "program end-to-end (shard_map + psum), not pod "
+            "efficiency; the >90% BASELINE gate needs real multi-chip "
+            "hardware, which this image does not have.")
+    print(json.dumps(out))
 
 
 def _forced_mode(ncol, nlev, nsteps, repeats):

@@ -292,6 +292,107 @@ def talk(coeffs: CarbCoeffs, dic, ta, pt, sit, x):
     return fn, df
 
 
+def _multi_reciprocal(dens):
+    """All ``1/dens[i]`` from ONE division: total = prod(dens),
+    inv_total = 1/total, then 1/dens[i] = prefix[i] * suffix[i+1] *
+    inv_total.  On TPU, float64 division is software-emulated and costs
+    an order of magnitude more than multiplication, so trading 7
+    divisions for ~20 multiplications is a net win in the solver's
+    inner loop.  Magnitudes: the 8 TA denominators multiply to ~1e-65
+    at seawater conditions — far inside f64 range (this trick is
+    f64-only; at f32 the product would underflow)."""
+    n = len(dens)
+    pref = [None] * (n + 1)   # pref[i] = prod(dens[:i])
+    suf = [None] * (n + 1)    # suf[i]  = prod(dens[i:])
+    pref[0] = 1.0
+    suf[n] = 1.0
+    for i in range(n):
+        pref[i + 1] = pref[i] * dens[i]
+        suf[n - 1 - i] = dens[n - 1 - i] * suf[n - i]
+    inv_total = 1.0 / pref[n]
+    return tuple(pref[i] * suf[i + 1] * inv_total for i in range(n))
+
+
+def talk_fast(coeffs: CarbCoeffs, dic, ta, pt, sit, x):
+    """The opt-in fast-f64 TA residual (OBGC_FAST_F64=1): the same 12
+    chemical terms as :func:`talk` (co2calc.F90:1001-1092) with the
+    reciprocals RE-ASSOCIATED — all 8 denominators inverted through one
+    division (:func:`_multi_reciprocal`), and the sulfate/fluoride/
+    hydrogen-scale fractions rewritten division-free:
+
+        HSO4 fraction   1/(1 + (1+ST/KS)*KS/H)  ==  H/(H + KS + ST)
+        HF fraction     1/(1 + KF/H)            ==  H/(H + KF)
+        free/total H+   1/(1 + ST/KS)           ==  KS/(KS + ST)
+
+    Mathematically identical to talk(); floating-point results differ
+    by reassociation ulps (~1e-15 relative), which perturbs the Newton
+    iterate sequence within the solver tolerance.  NOT the bitwise f64
+    contract path — qualified against it by tests/test_fast_f64.py
+    with the same trajectory-envelope methodology as the fp32 path."""
+    h = x
+    h2 = h * h
+    h3 = h2 * h
+    k12 = coeffs.k1 * coeffs.k2
+    k12p = coeffs.k1p * coeffs.k2p
+    k123p = k12p * coeffs.k3p
+    phos_den = h3 + coeffs.k1p * h2 + k12p * h + k123p
+    dphos_den = 3.0 * h2 + 2.0 * coeffs.k1p * h + k12p
+    carb_den = h2 + coeffs.k1 * h + k12
+    dcarb_den = 2.0 * h + coeffs.k1
+    borate_den = coeffs.kb + h
+    sili_den = coeffs.ksi + h
+    hso4_den = h + coeffs.ks + coeffs.st
+    hf_den = h + coeffs.kf
+    scale_den = coeffs.ks + coeffs.st
+
+    (inv_h, inv_phos_den, inv_carb_den, inv_borate_den, inv_sili_den,
+     inv_hso4_den, inv_hf_den, inv_scale_den) = _multi_reciprocal(
+        (h, phos_den, carb_den, borate_den, sili_den, hso4_den, hf_den,
+         scale_den))
+
+    inv_h2 = inv_h * inv_h
+    inv_phos_den2 = inv_phos_den * inv_phos_den
+    inv_carb_den2 = inv_carb_den * inv_carb_den
+    hfree_per_htot = coeffs.ks * inv_scale_den
+    hso4_frac = h * inv_hso4_den
+    hf_frac = h * inv_hf_den
+
+    fn = (coeffs.k1 * dic * h * inv_carb_den            # HCO3-
+          + 2.0 * dic * k12 * inv_carb_den              # 2 CO3=
+          + coeffs.bt * coeffs.kb * inv_borate_den      # B(OH)4-
+          + coeffs.kw * inv_h                           # OH-
+          + pt * k12p * h * inv_phos_den                # HPO4=
+          + 2.0 * pt * k123p * inv_phos_den             # 2 PO4---
+          + sit * coeffs.ksi * inv_sili_den             # SiO(OH)3-
+          - h * hfree_per_htot                          # - free H+
+          - coeffs.st * hso4_frac                       # - HSO4-
+          - coeffs.ft * hf_frac                         # - HF
+          - pt * h3 * inv_phos_den                      # - H3PO4
+          - ta)
+
+    df = (coeffs.k1 * dic * (carb_den - h * dcarb_den) * inv_carb_den2
+          - 2.0 * dic * k12 * dcarb_den * inv_carb_den2
+          - coeffs.bt * coeffs.kb * inv_borate_den * inv_borate_den
+          - coeffs.kw * inv_h2
+          + (pt * k12p * (phos_den - h * dphos_den)) * inv_phos_den2
+          - 2.0 * pt * k123p * dphos_den * inv_phos_den2
+          - sit * coeffs.ksi * inv_sili_den * inv_sili_den
+          - 1.0 * hfree_per_htot
+          # (1+ST/KS)*KS == KS+ST, so the HSO4 slope needs no division
+          - coeffs.st * hso4_frac * hso4_frac * scale_den * inv_h2
+          - coeffs.ft * hf_frac * hf_frac * coeffs.kf * inv_h2
+          - pt * h2 * (3.0 * phos_den - h * dphos_den) * inv_phos_den2)
+
+    return fn, df
+
+
+def _fast_f64_enabled() -> bool:
+    """OBGC_FAST_F64=1 opts the float64 solver into talk_fast (read at
+    trace time; the flag never affects float32, whose solver already
+    has its own qualified fast path)."""
+    return os.environ.get("OBGC_FAST_F64", "0") == "1"
+
+
 @jax.custom_vjp
 def solve_htotal(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2):
     """Lane-parallel bracketed safe-Newton root-find for htotal
@@ -333,8 +434,11 @@ def _solve_htotal_impl(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2,
     x1 = jnp.asarray(x1, dtype)
     x2 = jnp.broadcast_to(jnp.asarray(x2, dtype), x1.shape)
 
+    talk_fn = (talk_fast if dtype == jnp.float64 and _fast_f64_enabled()
+               else talk)
+
     def f_of(x):
-        return talk(coeffs, dic, ta, pt, sit, x)
+        return talk_fn(coeffs, dic, ta, pt, sit, x)
 
     # --- bracket phase: grow geometrically until the root is straddled ---
     flo0, _ = f_of(x1)
