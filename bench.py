@@ -331,6 +331,11 @@ def main():
     # separate XLA program; TPU compiles on this image are slow).
     configs = {}
     if os.environ.get("BENCH_QUAD", "1") == "1" and dtype is None:
+        # each config is a separate XLA program; TPU compiles on this
+        # image go through a slow remote relay, so respect a wall-clock
+        # budget and record (not hide) anything skipped
+        budget_s = float(os.environ.get("BENCH_QUAD_BUDGET_S", "2400"))
+        t_quad0 = time.monotonic()
         configs[f"env_{'on' if use_env else 'off'}"
                 f"_diags_{'on' if diags else 'off'}"] = round(value, 2)
         for e, d in ((True, False), (False, False), (True, True),
@@ -338,6 +343,9 @@ def main():
             key = (f"env_{'on' if e else 'off'}"
                    f"_diags_{'on' if d else 'off'}")
             if key in configs:
+                continue
+            if time.monotonic() - t_quad0 > budget_s:
+                configs[key] = "skipped_budget"
                 continue
             configs[key] = round(
                 _throughput(device, ncol, nlev, max(2, nsteps // 2), 2,
