@@ -292,33 +292,31 @@ def talk(coeffs: CarbCoeffs, dic, ta, pt, sit, x):
     return fn, df
 
 
-def _multi_reciprocal(dens):
-    """All ``1/dens[i]`` from ONE division: total = prod(dens),
-    inv_total = 1/total, then 1/dens[i] = prefix[i] * suffix[i+1] *
-    inv_total.  On TPU, float64 division is software-emulated and costs
-    an order of magnitude more than multiplication, so trading 7
-    divisions for ~20 multiplications is a net win in the solver's
-    inner loop.  Magnitudes: the 8 TA denominators multiply to ~1e-65
-    at seawater conditions — far inside f64 range (this trick is
-    f64-only; at f32 the product would underflow)."""
-    n = len(dens)
-    pref = [None] * (n + 1)   # pref[i] = prod(dens[:i])
-    suf = [None] * (n + 1)    # suf[i]  = prod(dens[i:])
-    pref[0] = 1.0
-    suf[n] = 1.0
-    for i in range(n):
-        pref[i + 1] = pref[i] * dens[i]
-        suf[n - 1 - i] = dens[n - 1 - i] * suf[n - i]
-    inv_total = 1.0 / pref[n]
-    return tuple(pref[i] * suf[i + 1] * inv_total for i in range(n))
+def _paired_reciprocal(a, b):
+    """(1/a, 1/b) from ONE division: inv_ab = 1/(a*b), then
+    1/a = b*inv_ab and 1/b = a*inv_ab.
+
+    RANGE CONSTRAINT (measured on v5e, round 3): TPU "float64" is
+    double-float EMULATION over f32 pairs — full ~1e-15 precision but
+    only float32's ~1e+/-38 EXPONENT range.  A single combined
+    reciprocal over all 8 TA denominators (product ~1e-65) flushes to
+    zero on TPU, returns inf, and sends every solver lane to
+    maxit=100 with wrong roots (0.14x throughput AND wrong physics —
+    the probe is recorded in docs/BENCHMARKS.md round 3).  Pairs are
+    chosen so each product stays within [~1e-19, 1] at any bracket
+    state the solver can reach."""
+    inv_ab = 1.0 / (a * b)
+    return b * inv_ab, a * inv_ab
 
 
 def talk_fast(coeffs: CarbCoeffs, dic, ta, pt, sit, x):
     """The opt-in fast-f64 TA residual (OBGC_FAST_F64=1): the same 12
     chemical terms as :func:`talk` (co2calc.F90:1001-1092) with the
-    reciprocals RE-ASSOCIATED — all 8 denominators inverted through one
-    division (:func:`_multi_reciprocal`), and the sulfate/fluoride/
-    hydrogen-scale fractions rewritten division-free:
+    reciprocals RE-ASSOCIATED — the 8 denominators inverted through 4
+    divisions (:func:`_paired_reciprocal`; pairs sized for TPU's
+    limited f64-emulation exponent range — see that docstring), and
+    the sulfate/fluoride/hydrogen-scale fractions rewritten
+    division-free:
 
         HSO4 fraction   1/(1 + (1+ST/KS)*KS/H)  ==  H/(H + KS + ST)
         HF fraction     1/(1 + KF/H)            ==  H/(H + KF)
@@ -345,10 +343,17 @@ def talk_fast(coeffs: CarbCoeffs, dic, ta, pt, sit, x):
     hf_den = h + coeffs.kf
     scale_den = coeffs.ks + coeffs.st
 
-    (inv_h, inv_phos_den, inv_carb_den, inv_borate_den, inv_sili_den,
-     inv_hso4_den, inv_hf_den, inv_scale_den) = _multi_reciprocal(
-        (h, phos_den, carb_den, borate_den, sili_den, hso4_den, hf_den,
-         scale_den))
+    # pair magnitudes (worst case over the solver's bracket range):
+    # h (>=1e-11) * hso4_den (~0.06)      >= ~6e-13
+    # phos_den (>=k1p*k2p*k3p ~1e-17) * scale_den (~0.07)  >= ~7e-19
+    # carb_den (>=k1*k2 ~1.5e-15) * hf_den (>=kf ~2e-3)    >= ~3e-18
+    # borate_den (>=kb ~2e-9) * sili_den (>=ksi ~4e-10)    >= ~8e-19
+    # all inside the TPU f64-emulation exponent range (~1e+/-38)
+    inv_h, inv_hso4_den = _paired_reciprocal(h, hso4_den)
+    inv_phos_den, inv_scale_den = _paired_reciprocal(phos_den, scale_den)
+    inv_carb_den, inv_hf_den = _paired_reciprocal(carb_den, hf_den)
+    inv_borate_den, inv_sili_den = _paired_reciprocal(borate_den,
+                                                      sili_den)
 
     inv_h2 = inv_h * inv_h
     inv_phos_den2 = inv_phos_den * inv_phos_den

@@ -116,6 +116,38 @@ def test_fast_f64_trajectory_within_perturbation_envelope(monkeypatch):
             f"perturbation envelope {bound:.3e}")
 
 
+def test_talk_fast_pair_products_within_tpu_emulation_range(rng):
+    """TPU 'float64' is double-float emulation with only float32's
+    ~1e+/-38 exponent range (measured on v5e: a combined product of all
+    8 TA denominators, ~1e-65, flushed to zero and silently broke the
+    solver — docs/BENCHMARKS.md round 3).  Pin that every
+    _paired_reciprocal product stays within [1e-37, 1e37] over the full
+    coefficient envelope and the widest bracket state the solver can
+    reach, so the CPU suite catches any re-pairing that would break on
+    TPU."""
+    coeffs, dic, ta, pt, sit = _random_cells(rng, n=8192)
+    lo, hi = 1e-37, 1e37
+    for ph in (5.0, 6.0, 7.0, 8.0, 9.0, 10.5, 11.0):
+        h = np.full(dic.shape, 10.0 ** (-ph))
+        k12p = np.asarray(coeffs.k1p * coeffs.k2p)
+        k123p = k12p * np.asarray(coeffs.k3p)
+        phos_den = (h ** 3 + np.asarray(coeffs.k1p) * h ** 2
+                    + k12p * h + k123p)
+        carb_den = (h ** 2 + np.asarray(coeffs.k1) * h
+                    + np.asarray(coeffs.k1 * coeffs.k2))
+        pairs = {
+            "h*hso4_den": h * (h + np.asarray(coeffs.ks + coeffs.st)),
+            "phos*scale": phos_den * np.asarray(coeffs.ks + coeffs.st),
+            "carb*hf": carb_den * (h + np.asarray(coeffs.kf)),
+            "borate*sili": ((np.asarray(coeffs.kb) + h)
+                            * (np.asarray(coeffs.ksi) + h)),
+        }
+        for name, prod in pairs.items():
+            assert (prod > lo).all() and (prod < hi).all(), (
+                f"pair {name} leaves the TPU f64-emulation range at "
+                f"pH {ph}: [{prod.min():.3e}, {prod.max():.3e}]")
+
+
 def test_fast_f64_off_is_bitwise_default(monkeypatch):
     """With the flag off (the default), the solver is bit-identical to
     the contract path — the fast path cannot leak in."""
