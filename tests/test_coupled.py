@@ -105,3 +105,53 @@ def test_diag_dtype_narrowing():
         np.testing.assert_allclose(np.asarray(d32[k]),
                                    np.asarray(d64[k]).astype(np.float32),
                                    rtol=0, atol=0)
+
+
+def test_coupled_carbon_and_silicon_mass_balance():
+    """End-to-end budget closure of the COUPLED step (not just the
+    interior Jint identity): over one forward-Euler step, the change in
+    each column's carbon inventory equals dt times
+
+        Jint_Ctot  -  (pocToSed + calcToSed)  +  sum of C-tracer
+                                                  surface net fluxes
+
+    (the interior conservation integral, BGC_mod.F90:1875-1938, minus
+    sediment burial, plus the air-sea/river/ice deposit that
+    models/coupled.py adds to the top cell AFTER the kernel).  Same for
+    silicon with bsiToSed.  This certifies the surface-flux deposition
+    and the sediment bookkeeping against the tracer update itself,
+    independent of the oracle."""
+    state, grid, forcing = synthetic_world(nlev=12, ncol=10, seed=23,
+                                           ragged=True)
+    params = ModelParams()
+    s1, d = jax.jit(lambda s: step(s, grid, forcing, params, DT,
+                                   compute_diags=True))(state)
+
+    dz = np.asarray(grid.cell_thickness)
+    active = np.asarray(grid.active_mask())
+    t0 = np.asarray(state.bgc.tracers)
+    t1 = np.asarray(s1.bgc.tracers)
+
+    c_idx = [T.DIC, T.DOC, T.ZOOC, T.SPC, T.DIATC, T.DIAZC, T.PHAEOC,
+             T.SPCACO3]
+    si_idx = [T.SIO3, T.DIATSI]
+
+    def budget(idx_list, jint_name, sed_arrays):
+        inv0 = sum((np.where(active, t0[:, i], 0.0) * dz).sum(axis=0)
+                   for i in idx_list)
+        inv1 = sum((np.where(active, t1[:, i], 0.0) * dz).sum(axis=0)
+                   for i in idx_list)
+        sed = sum(np.asarray(d[n]).sum(axis=0) for n in sed_arrays)
+        # the deposit is gated on has_ocean (models/coupled.py); the
+        # netFlux diagnostic itself is raw, so land columns get none
+        has_ocean = np.asarray(grid.kmax) > 0
+        sflux = np.where(has_ocean,
+                         sum(np.asarray(d["netFlux"])[i]
+                             for i in idx_list), 0.0)
+        rhs = DT * (np.asarray(d[jint_name]) - sed + sflux)
+        scale = np.abs(inv0).max()
+        np.testing.assert_allclose(inv1 - inv0, rhs, rtol=0.0,
+                                   atol=1e-10 * scale)
+
+    budget(c_idx, "Jint_Ctot", ("pocToSed", "calcToSed"))
+    budget(si_idx, "Jint_Sitot", ("bsiToSed",))
