@@ -40,14 +40,21 @@ def _with_ph(state: CoupledState, tend) -> CoupledState:
 
 
 def step_rk2(state: CoupledState, grid: ColumnGrid, forcing: BGCForcing,
-             params: ModelParams, dt: float, *, compute_diags: bool = True
+             params: ModelParams, dt: float, *,
+             compute_diags: bool = True, env=None, health: bool = False
              ) -> Tuple[CoupledState, Dict[str, jax.Array]]:
-    """Heun's method (RK2): y' = y + dt/2 (k1 + k2)."""
+    """Heun's method (RK2): y' = y + dt/2 (k1 + k2).
+
+    ``env``/``health``: as in :func:`~ocean_bgc_tpu.models.coupled
+    .step` — the coefficient cache is valid for every stage (stages
+    share the forcing snapshot); health counters come from the first
+    (diagnostic-emitting) stage."""
     k1, diags = evaluate_tendencies(state, grid, forcing, params,
-                                    compute_diags=compute_diags)
+                                    compute_diags=compute_diags,
+                                    env=env, health=health)
     mid = apply_update(state, k1, dt)
     k2, _ = evaluate_tendencies(mid, grid, forcing, params,
-                                compute_diags=False)
+                                compute_diags=False, env=env)
     new = apply_update(
         state, k2, dt / 2.0,
         bgc_incr=k1.bgc + k2.bgc,
@@ -57,20 +64,22 @@ def step_rk2(state: CoupledState, grid: ColumnGrid, forcing: BGCForcing,
 
 
 def step_rk4(state: CoupledState, grid: ColumnGrid, forcing: BGCForcing,
-             params: ModelParams, dt: float, *, compute_diags: bool = True
+             params: ModelParams, dt: float, *,
+             compute_diags: bool = True, env=None, health: bool = False
              ) -> Tuple[CoupledState, Dict[str, jax.Array]]:
     """Classic RK4."""
     k1, diags = evaluate_tendencies(state, grid, forcing, params,
-                                    compute_diags=compute_diags)
+                                    compute_diags=compute_diags,
+                                    env=env, health=health)
     s2 = apply_update(state, k1, dt / 2.0)
     k2, _ = evaluate_tendencies(s2, grid, forcing, params,
-                                compute_diags=False)
+                                compute_diags=False, env=env)
     s3 = apply_update(_with_ph(state, k2), k2, dt / 2.0)
     k3, _ = evaluate_tendencies(s3, grid, forcing, params,
-                                compute_diags=False)
+                                compute_diags=False, env=env)
     s4 = apply_update(_with_ph(state, k3), k3, dt)
     k4, _ = evaluate_tendencies(s4, grid, forcing, params,
-                                compute_diags=False)
+                                compute_diags=False, env=env)
     new = apply_update(
         state, k4, dt / 6.0,
         bgc_incr=k1.bgc + 2.0 * k2.bgc + 2.0 * k3.bgc + k4.bgc,

@@ -54,6 +54,20 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--save-world",
                    help="write the final grid/forcing/state as a "
                         "NetCDF world file")
+    p.add_argument("--forcing-series",
+                   help="NetCDF forcing series (leading time axis; see "
+                        "models/forcing_series.save_forcing_series) — "
+                        "interpolated per step instead of held forcing")
+    p.add_argument("--interp", choices=("linear", "hold"),
+                   default="linear",
+                   help="forcing-series interpolation mode")
+    p.add_argument("--no-env-cache", action="store_true",
+                   help="recompute the coefficient tables every step "
+                        "(the reference's semantics) instead of "
+                        "amortizing them per forcing snapshot/record")
+    p.add_argument("--health", action="store_true",
+                   help="accumulate pH-solver non-convergence and "
+                        "poc_error counters into the summary")
     p.add_argument("--netcdf-history", action="store_true",
                    help="write history as NetCDF instead of npz")
     p.add_argument("--quiet", action="store_true")
@@ -110,16 +124,57 @@ def main(argv=None) -> int:
 
     want_diags = args.history_every > 0
 
+    series = record_dt = None
+    if args.forcing_series:
+        from ocean_bgc_tpu.models.forcing_series import (
+            forcing_at, forcing_record, load_forcing_series)
+        series, record_dt = load_forcing_series(args.forcing_series,
+                                                dtype=dtype)
+        if not args.quiet:
+            nrec = jax.tree.leaves(series)[0].shape[0]
+            print(f"forcing series <- {args.forcing_series} "
+                  f"({nrec} records, {record_dt:.0f} s apart, "
+                  f"{args.interp})")
+
+    # env cache: constant forcing -> build once; series + hold ->
+    # rebuild at record boundaries (host loop, exact); series +
+    # linear -> exact per-step recompute (env_mode='interp' exists on
+    # run_forced for the qualified approximation)
+    use_env = not args.no_env_cache
+    from ocean_bgc_tpu.ops.bgc import precompute_env
+
     @jax.jit
-    def advance(s):
-        return step_impl(s, grid, forcing, params, args.dt,
-                         compute_diags=want_diags)
+    def advance(s, f, env):
+        return step_impl(s, grid, f, params, args.dt,
+                         compute_diags=want_diags, env=env,
+                         health=args.health)
 
     os.makedirs(args.out, exist_ok=True)
     tavg = None
+    env = (precompute_env(grid, forcing, params.bgc)
+           if use_env and series is None else None)
+    cur_rec = None
+    forcing_now = forcing
+    health_tot = {"health_solver_nonconverged_cells": 0.0,
+                  "health_poc_error_cells": 0.0}
     t0 = time.perf_counter()
     for i in range(start_step, start_step + args.steps):
-        state, diags = advance(state)
+        if series is not None:
+            t = (i + 0.5) * args.dt / record_dt
+            if args.interp == "hold":
+                nrec = jax.tree.leaves(series)[0].shape[0]
+                rec = int(np.clip(np.floor(t), 0, nrec - 1))
+                forcing_now = forcing_record(series, rec)
+                if use_env and rec != cur_rec:
+                    env = precompute_env(grid, forcing_now, params.bgc)
+                    cur_rec = rec
+            else:
+                forcing_now = forcing_at(series, t)
+                env = None
+        state, diags = advance(state, forcing_now, env)
+        if args.health:
+            for k in health_tot:
+                health_tot[k] += float(diags[k])
         if want_diags:
             if tavg is None:
                 tavg = TavgState.create(diags)
@@ -159,7 +214,7 @@ def main(argv=None) -> int:
                    attrs={"step": np.int32(start_step + args.steps)})
         if not args.quiet:
             print(f"world -> {args.save_world}")
-    _, final_diags = step(state, grid, forcing, params, args.dt,
+    _, final_diags = step(state, grid, forcing_now, params, args.dt,
                           compute_diags=True)
     jint = float(np.abs(np.asarray(final_diags["Jint_Ctot"])).max())
     summary = {
@@ -171,6 +226,8 @@ def main(argv=None) -> int:
         "max_abs_Jint_Ctot": jint,
         "finite": bool(np.isfinite(np.asarray(state.bgc.tracers)).all()),
     }
+    if args.health:
+        summary.update({f"{k}_total": v for k, v in health_tot.items()})
     print(json.dumps(summary))
     return 0
 
