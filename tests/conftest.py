@@ -21,6 +21,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# The interpret-mode fused-step kernel is the largest single XLA:CPU
+# compile in the suite; in a LONG-LIVED suite process LLVM segfaults on
+# it nondeterministically on this image (observed twice at the same
+# call; always green in a fresh interpreter — the image's XLA:CPU AOT
+# kernels are built for mismatched host features, see the
+# "prefer-no-scatter ... could lead to SIGILL" load warnings).
+# test_pallas_step_isolated.py re-runs the module in a fresh
+# interpreter; the env marker below lets that child (or a developer
+# running the file directly with the marker set) collect it normally.
+if os.environ.get("OBGC_PALLAS_STEP_SUBPROC") != "1":
+    collect_ignore = ["test_pallas_step.py"]
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
