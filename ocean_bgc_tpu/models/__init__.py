@@ -1,4 +1,5 @@
 from ocean_bgc_tpu.models import (  # noqa: F401
+    adjoint,
     chunked,
     coupled,
     forcing_series,
