@@ -845,11 +845,25 @@ def assemble_tendencies(
 
     # ---- nitrate & ammonium (BGC_mod.F90:1545-1592) ----
     nitrif = params.parm_kappa_nitrif * nh4
-    par_out_safe = jnp.maximum(kin.par_out, 1e-300)
-    taper = (jnp.log(par_out_safe / params.parm_nitrif_par_lim)
+    # The euphotic-zone taper log(PAR_out/lim)/KPARdz (BGC_mod.F90:
+    # 1552-1560).  TPU f64 is double-float emulation with float32's
+    # exponent range: deep-cell PAR underflows to exactly 0 on chip
+    # (and a sub-1e-38 floor literal itself flushes), so log(0) = -inf
+    # leaked NaN into the BACKWARD pass through the where-cotangent
+    # (0 * inf) — measured round 3: every BGC parameter sensitivity NaN
+    # on TPU, finite on CPU (scripts/probe_adjoint_nan2.py).  Fix:
+    # double-where (the log sees a benign input on lanes whose taper
+    # the select discards; their forward values are bitwise unchanged)
+    # plus a TPU-representable floor.  The floor only engages when a
+    # SINGLE cell has optical depth > ~85 while its top is lit — not
+    # reachable with physical chlorophyll/thickness.
+    taper_sel = kin.par_in > params.parm_nitrif_par_lim
+    par_for_log = jnp.where(taper_sel,
+                            jnp.maximum(kin.par_out, 1e-37),
+                            params.parm_nitrif_par_lim)
+    taper = (jnp.log(par_for_log / params.parm_nitrif_par_lim)
              / (-kin.kpar_dz))
-    nitrif = jnp.where(kin.par_in > params.parm_nitrif_par_lim,
-                       nitrif * taper, nitrif)
+    nitrif = jnp.where(taper_sel, nitrif * taper, nitrif)
     nitrif = jnp.where(kin.par_out < params.parm_nitrif_par_lim,
                        nitrif, 0.0)
 

@@ -138,6 +138,35 @@ def test_adjoint_shards_like_the_forward_model():
     np.testing.assert_allclose(float(g8), float(g1), rtol=1e-12)
 
 
+def test_grad_through_forced_run():
+    """The time-varying-forcing production path (run_forced, per-record
+    env cache inside the scan) is reverse-differentiable too — here a
+    gradient with respect to a forcing-series amplitude (a
+    climate-sensitivity-style question the reference cannot ask)."""
+    import dataclasses
+
+    from ocean_bgc_tpu.models.forcing_series import (
+        run_forced, stack_forcings)
+
+    nlev, ncol, nrec = 5, 6, 3
+    worlds = [synthetic_world(nlev=nlev, ncol=ncol, seed=200 + r,
+                              ragged=False) for r in range(nrec)]
+    state, grid, _ = worlds[0]
+    series = stack_forcings([w[2] for w in worlds])
+    params = ModelParams()
+
+    def loss_of(scale):
+        s2 = dataclasses.replace(
+            series, shortwave_surface=series.shortwave_surface * scale)
+        final, _ = run_forced(state, grid, s2, params, DT, 6, 2 * DT)
+        return jnp.mean(final.bgc.tracers[0, BT.DIC])
+
+    g = jax.jit(jax.grad(loss_of))(jnp.asarray(1.0))
+    assert np.isfinite(float(g))
+    # more light -> more surface carbon fixation -> lower surface DIC
+    assert float(g) < 0.0
+
+
 def test_sensitivities_one_sweep_matches_single_param_grad():
     """One reverse sweep over 3 parameters agrees with the dedicated
     single-parameter gradient (and FD, transitively, via the test above)."""

@@ -160,3 +160,29 @@ def test_fast_f64_off_is_bitwise_default(monkeypatch):
     b, _ = jax.jit(lambda s: run(s, grid, forcing, params, DT, 3))(state)
     np.testing.assert_array_equal(np.asarray(a.bgc.tracers),
                                   np.asarray(b.bgc.tracers))
+
+
+def test_no_sub_emulation_range_literals_in_compute_path():
+    """TPU float64 is double-float emulation with float32's exponent
+    range: any literal below ~1e-38 is EXACTLY ZERO on chip.  Round 3
+    found two real bugs of this class (the single-division TA residual,
+    and a 1e-300 floor under the nitrification-taper log whose flush
+    sent every BGC parameter gradient to NaN on TPU while the CPU suite
+    stayed green — scripts/probe_adjoint_nan2.py).  The chip behavior
+    cannot be reproduced on the CPU backend, so pin the invariant at
+    the source level: no numeric literal in the differentiable compute
+    path may lie below the emulation range."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "ocean_bgc_tpu"
+    offenders = []
+    for f in sorted(list(root.glob("ops/*.py"))
+                    + list(root.glob("models/*.py"))):
+        for node in ast.walk(ast.parse(f.read_text())):
+            if (isinstance(node, ast.Constant)
+                    and isinstance(node.value, float)
+                    and 0.0 < abs(node.value) < 1e-37):
+                offenders.append(
+                    f"{f.name}:{node.lineno}: {node.value!r}")
+    assert not offenders, offenders
