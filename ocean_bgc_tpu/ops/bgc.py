@@ -134,9 +134,36 @@ def resolve_carbonate_impl(impl: str, dtype) -> str:
     return impl
 
 
+@jax.custom_jvp
 def _safe_div(num, den):
-    """num/den with den==0 mapped to 0 (guarded selects, not NaN)."""
+    """num/den with den==0 mapped to 0 (guarded selects, not NaN).
+
+    Carries a custom derivative because the standard division VJP forms
+    ``num/den**2`` — and TPU float64 is double-float emulation with only
+    float32's exponent range, so ``den**2`` flushes to zero for
+    ``den < ~1e-19`` and the quotient becomes inf.  Measured round 3:
+    the photoadaptation ratio ``pcphoto/work1`` with ``work1 =
+    alphaPI*thetaC*PAR_avg ~ 1e-24`` in deep cells sent every BGC
+    parameter gradient to NaN on TPU while the CPU suite (true IEEE
+    f64, den**2 = 1e-48 is normal) stayed green.  The derivative is
+    re-associated as ``q*(1/den)`` — the same value through factors
+    that each stay inside the emulation range whenever num and den are
+    comparable (they are at every call site: num scales with den)."""
     return jnp.where(den != 0.0, num / jnp.where(den != 0.0, den, 1.0), 0.0)
+
+
+@_safe_div.defjvp
+def _safe_div_jvp(primals, tangents):
+    num, den = primals
+    dnum, dden = tangents
+    nz = den != 0.0
+    den1 = jnp.where(nz, den, 1.0)
+    inv = 1.0 / den1
+    q = jnp.where(nz, num / den1, 0.0)   # primal identical to _safe_div
+    # d(num/den) = dnum/den - (num/den)*(dden/den), NO den**2 term
+    dq = jnp.where(nz, inv * dnum - q * (inv * dden),
+                   jnp.zeros_like(q))
+    return q, dq
 
 
 def _par_field(par_surf_row, total_chl, dz, active):
@@ -482,12 +509,19 @@ def ecosystem_kinetics(
         gqfe.append(gq)
         if au.has_si:
             gs = jnp.full_like(fe, c.GQSI_0)
+            # _safe_div also for its den**2-free derivative: fe can be
+            # arbitrarily tiny-positive and the standard division VJP
+            # would form fe**2 (flushes on TPU below ~1e-19); the
+            # fe==0 value (0 vs the old X/1) is discarded by this
+            # where and the fe==0 override below — forward bitwise
+            # unchanged on selected lanes
             gs = jnp.where(
                 (fe < c.CKSI * au.kFe) & (fe > 0.0)
                 & (sio3 > c.CKSI * au.kSiO3),
                 jnp.minimum(
-                    c.GQSI_0 * c.CKSI * au.kFe
-                    / jnp.where(fe > 0.0, fe, 1.0), c.GQSI_MAX),
+                    _safe_div(jnp.full_like(fe, c.GQSI_0 * c.CKSI
+                                            * au.kFe), fe),
+                    c.GQSI_MAX),
                 gs)
             gs = jnp.where(fe == 0.0, c.GQSI_MAX, gs)
             gs = jnp.where(
@@ -613,10 +647,13 @@ def ecosystem_kinetics(
         # photoadaptation (BGC_mod.F90:1240-1246)
         work1 = au.alphaPI * thetaC[g] * par_avg
         pchl = au.thetaN_max * _safe_div(pcphoto, work1)
+        # _safe_div: thetaC can be arbitrarily tiny-positive at depth
+        # and the standard division VJP's thetaC**2 flushes on TPU
+        # (same class as the work1 NaN; forward value unchanged —
+        # thetaC==0 lanes produced 0 either way since a_chl = 0 there)
         photoacc.append(jnp.where(
             work1 > 0.0,
-            pchl * vnc / jnp.where(thetaC[g] != 0.0, thetaC[g], 1.0)
-            * a_chl[g],
+            _safe_div(pchl * vnc, thetaC[g]) * a_chl[g],
             0.0))
 
         # CaCO3 production (BGC_mod.F90:1255-1278)
