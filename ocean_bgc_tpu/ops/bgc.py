@@ -76,6 +76,7 @@ from ocean_bgc_tpu.ops.particulates import (
     particulate_level_update,
     precompute_dissolution,
 )
+from ocean_bgc_tpu.ops.numerics import safe_div
 from ocean_bgc_tpu.ops.schmidt import o2sat
 from ocean_bgc_tpu.params import BGCParams
 from ocean_bgc_tpu.state import BGCForcing, BGCTracers as T, ColumnGrid
@@ -134,36 +135,9 @@ def resolve_carbonate_impl(impl: str, dtype) -> str:
     return impl
 
 
-@jax.custom_jvp
-def _safe_div(num, den):
-    """num/den with den==0 mapped to 0 (guarded selects, not NaN).
-
-    Carries a custom derivative because the standard division VJP forms
-    ``num/den**2`` — and TPU float64 is double-float emulation with only
-    float32's exponent range, so ``den**2`` flushes to zero for
-    ``den < ~1e-19`` and the quotient becomes inf.  Measured round 3:
-    the photoadaptation ratio ``pcphoto/work1`` with ``work1 =
-    alphaPI*thetaC*PAR_avg ~ 1e-24`` in deep cells sent every BGC
-    parameter gradient to NaN on TPU while the CPU suite (true IEEE
-    f64, den**2 = 1e-48 is normal) stayed green.  The derivative is
-    re-associated as ``q*(1/den)`` — the same value through factors
-    that each stay inside the emulation range whenever num and den are
-    comparable (they are at every call site: num scales with den)."""
-    return jnp.where(den != 0.0, num / jnp.where(den != 0.0, den, 1.0), 0.0)
-
-
-@_safe_div.defjvp
-def _safe_div_jvp(primals, tangents):
-    num, den = primals
-    dnum, dden = tangents
-    nz = den != 0.0
-    den1 = jnp.where(nz, den, 1.0)
-    inv = 1.0 / den1
-    q = jnp.where(nz, num / den1, 0.0)   # primal identical to _safe_div
-    # d(num/den) = dnum/den - (num/den)*(dden/den), NO den**2 term
-    dq = jnp.where(nz, inv * dnum - q * (inv * dden),
-                   jnp.zeros_like(q))
-    return q, dq
+# the guarded division with a den**2-free derivative (TPU f64-emulation
+# range; see ops/numerics.py for the measured round-3 failure)
+_safe_div = safe_div
 
 
 def _par_field(par_surf_row, total_chl, dz, active):

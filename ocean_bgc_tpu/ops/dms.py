@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ocean_bgc_tpu.constants import EPSC, F_QSW_PAR_DMS
+from ocean_bgc_tpu.ops.numerics import safe_div
 from ocean_bgc_tpu.params import DMSParams
 from ocean_bgc_tpu.state import DMSTracers as DT
 
@@ -147,13 +148,17 @@ def dms_source_sink(
               + p.G_phaeo_S * phaeoS)
 
     # food-weighted zooplankton sulfur (DMS_mod.F90:671-684)
-    rs2n_zoo_weighted = (
+    # safe_div: phytoN can be arbitrarily tiny at depth, where the
+    # standard division VJP's phytoN**2 flushes on TPU (ops/numerics.py);
+    # the phytoN<=0 value (0 vs the old X/1) is discarded by the
+    # phytoN>0 select below either way
+    rs2n_zoo_weighted = safe_div(
         p.Rs2n_diat * diatN
         + p.G_phaeo_S * p.Rs2n_phaeo * phaeoN
         + p.Rs2n_cocco * coccoN
         + p.Rs2n_cyano * cyanoN
         + p.Rs2n_eukar * eukarN * stress_fac
-        + p.Rs2n_diaz * diazN) / jnp.where(phytoN > 0.0, phytoN, 1.0)
+        + p.Rs2n_diaz * diazN, phytoN)
     rs2n_zoo_fallback = (p.Rs2n_diat + p.Rs2n_cocco + p.Rs2n_cyano
                          + p.Rs2n_eukar + p.Rs2n_diaz
                          + p.Rs2n_phaeo) / 6.0

@@ -1,0 +1,51 @@
+"""Range-safe numerical primitives for TPU float64 emulation.
+
+TPU "float64" is double-float emulation over f32 pairs: full ~1e-15
+precision but only float32's ~1e+/-38 exponent range (CLAUDE.md; the
+measured failures are in docs/BENCHMARKS.md round 3).  Forward code has
+been range-audited, but reverse-mode AD *derives* new expressions — in
+particular the standard division VJP forms ``num/den**2``, whose
+``den**2`` flushes to zero on chip for ``den < ~1e-19`` and returns inf
+(true IEEE f64 keeps it normal, so CPU tests cannot catch it).
+
+:func:`safe_div` is the shared guarded division with a den**2-free
+custom derivative; use it for ANY division whose denominator can be
+arbitrarily tiny (biology ratios, flux ratios), not just for the
+den==0 guard.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.custom_jvp
+def safe_div(num, den):
+    """num/den with den==0 mapped to 0 (guarded selects, not NaN).
+
+    Carries a custom derivative because the standard division VJP forms
+    ``num/den**2`` — on TPU, ``den**2`` underflows the f64-emulation
+    exponent range for ``den < ~1e-19`` and the quotient becomes inf.
+    Measured round 3: the photoadaptation ratio ``pcphoto/work1`` with
+    ``work1 = alphaPI*thetaC*PAR_avg ~ 1e-21`` in deep cells sent every
+    BGC parameter gradient to NaN on chip while the CPU suite (true
+    IEEE f64) stayed green.  The derivative is re-associated as
+    ``q*(1/den)`` — the same value through factors that each stay
+    inside the emulation range whenever num and den are comparable
+    (true at every call site: num scales with den)."""
+    return jnp.where(den != 0.0, num / jnp.where(den != 0.0, den, 1.0), 0.0)
+
+
+@safe_div.defjvp
+def _safe_div_jvp(primals, tangents):
+    num, den = primals
+    dnum, dden = tangents
+    nz = den != 0.0
+    den1 = jnp.where(nz, den, 1.0)
+    inv = 1.0 / den1
+    q = jnp.where(nz, num / den1, 0.0)   # primal identical to safe_div
+    # d(num/den) = dnum/den - (num/den)*(dden/den), NO den**2 term
+    dq = jnp.where(nz, inv * dnum - q * (inv * dden),
+                   jnp.zeros_like(q))
+    return q, dq

@@ -46,6 +46,7 @@ from ocean_bgc_tpu.constants import (
     TFUNCS_Q10,
     TREF,
 )
+from ocean_bgc_tpu.ops.numerics import safe_div
 from ocean_bgc_tpu.params import BGCParams
 
 # QA mass ratios (rho = 0.05 * mass / POC mass, BGC_mod.F90:2054-2064)
@@ -276,8 +277,11 @@ def particulate_level_update(
                       - RHO_SIO2 * sio2_prod)
 
     dust_in_tot = dust_s_in + dust_h_in
-    qa_ratio = ((dust_s_out + dust_h_out)
-                / jnp.where(dust_in_tot != 0.0, dust_in_tot, 1.0))
+    # safe_div for its den**2-free derivative: deep-cell fluxes decay
+    # into TPU f64 emulation's flush range, where the standard division
+    # VJP's den**2 is inf (ops/numerics.py); den==0 value 0 vs the old
+    # X/1 is identical here (outs are ins*decay = 0)
+    qa_ratio = safe_div(dust_s_out + dust_h_out, dust_in_tot)
     new_qa = jnp.where(carry.qa_dust_def > 0.0,
                        carry.qa_dust_def * qa_ratio, 0.0)
     reduce_mask = new_qa > 0.0
@@ -311,11 +315,12 @@ def particulate_level_update(
 
     # iron: remin proportional to POC remin (BGC_mod.F90:2469-2501)
     poc_in_tot = poc_s_in + poc_h_in
+    # safe_div: same den**2-free-derivative rationale as qa_ratio; the
+    # poc_in_tot==0 branch is selected by the outer where either way
     fe_remin = jnp.where(
         poc_in_tot == 0.0,
         poc_remin * PARM_RED_FE_C,
-        poc_remin * (fe_s_in + fe_h_in)
-        / jnp.where(poc_in_tot != 0.0, poc_in_tot, 1.0))
+        safe_div(poc_remin * (fe_s_in + fe_h_in), poc_in_tot))
     fe_remin = fe_remin + fe_s_in * FE_SFLUX_REMIN_RATE
     fe_s_out = fe_s_in + dz * (fe_prod - fe_remin)
     fe_remin = jnp.where(fe_s_out < 0.0,
