@@ -14,6 +14,20 @@ Env knobs: BENCH_NCOL, BENCH_NLEV, BENCH_STEPS, BENCH_REPEATS,
 BENCH_DIAGS=1 (include the ~95-field diagnostic outputs in the step).
 
 Prints exactly one JSON line.
+
+The default invocation (``python bench.py``, no env) is the driver
+contract and MUST land inside the driver's timeout on this image, where
+every distinct XLA program costs 4-10 min of remote-relay compile that
+the persistent cache cannot reuse (docs/BENCHMARKS.md "Operational
+notes").  It therefore runs exactly TWO programs — the primary TPU step
+and the small host-CPU baseline — under a wall-clock budget
+(``BENCH_BUDGET_S``, default 1500 s, measured from process start so the
+first compile is inside it).  If the budget is gone after the primary
+measurement, the CPU baseline is skipped and ``vs_baseline`` falls back
+to the round-2 pinned CPU measurement (flagged in the ``baseline``
+field).  The 4-config quad is opt-in (``BENCH_QUAD=1``) — round 3's
+quad-by-default chained enough compiles to blow the driver budget and
+the round recorded no number at all (VERDICT round 3, weak #1).
 """
 
 from __future__ import annotations
@@ -23,6 +37,15 @@ import os
 import time
 
 import jax
+
+# wall-clock origin for the whole-process budget: set at import so the
+# first XLA compile (the dominant cost on this image) counts against it
+_T0 = time.monotonic()
+
+
+def _budget_left():
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    return budget_s - (time.monotonic() - _T0)
 
 
 def _throughput(device, ncol, nlev, nsteps, repeats, compute_diags,
@@ -327,15 +350,11 @@ def main():
     # tables); env=off is the reference's recompute-every-call
     # semantics; diags=on materializes all ~155 diagnostic fields (the
     # reference always computes its diagnostics, SURVEY.md par.5).
-    # BENCH_QUAD=0 skips the three non-primary configs (each is a
-    # separate XLA program; TPU compiles on this image are slow).
+    # OPT-IN (BENCH_QUAD=1): each extra config is a separate XLA program
+    # costing minutes of uncacheable remote-relay compile — quad-on by
+    # default blew the round-3 driver budget (VERDICT round 3, weak #1).
     configs = {}
-    if os.environ.get("BENCH_QUAD", "1") == "1" and dtype is None:
-        # each config is a separate XLA program; TPU compiles on this
-        # image go through a slow remote relay, so respect a wall-clock
-        # budget and record (not hide) anything skipped
-        budget_s = float(os.environ.get("BENCH_QUAD_BUDGET_S", "2400"))
-        t_quad0 = time.monotonic()
+    if os.environ.get("BENCH_QUAD", "0") == "1" and dtype is None:
         configs[f"env_{'on' if use_env else 'off'}"
                 f"_diags_{'on' if diags else 'off'}"] = round(value, 2)
         for e, d in ((True, False), (False, False), (True, True),
@@ -344,7 +363,7 @@ def main():
                    f"_diags_{'on' if d else 'off'}")
             if key in configs:
                 continue
-            if time.monotonic() - t_quad0 > budget_s:
+            if _budget_left() <= 0:
                 configs[key] = "skipped_budget"
                 continue
             configs[key] = round(
@@ -353,15 +372,30 @@ def main():
                             diag_dtype=ddt, use_env=e), 2)
 
     # host-CPU baseline (serial-Fortran stand-in): same physics, one CPU
-    # device, smaller column count for wall-clock sanity
+    # device, smaller column count for wall-clock sanity.  Behind the
+    # budget: if the primary compile consumed it, fall back to the
+    # pinned round-2 CPU measurement (9,336 columns/s at 512 columns,
+    # BENCH_r02.json: 257,957 / 27.629) rather than risk the whole
+    # artifact on another compile.
+    baseline_note = ("same program, one host-CPU device "
+                     f"({min(ncol, 512)} columns) — a jax-cpu stand-in "
+                     "for the reference's serial per-rank execution "
+                     "(no Fortran compiler on this image)")
+    cpu_pin = float(os.environ.get("BENCH_CPU_PIN", "9336.0"))
     try:
+        if _budget_left() <= 0:
+            raise TimeoutError("bench budget exhausted")
         cpu = jax.devices("cpu")[0]
         cpu_ncol = min(ncol, 512)
         cpu_value = _throughput(cpu, cpu_ncol, nlev, max(2, nsteps // 5),
                                 1, diags, dtype=dtype, use_env=use_env)
         vs_baseline = value / cpu_value
     except Exception:
-        vs_baseline = 1.0
+        vs_baseline = value / cpu_pin
+        baseline_note = ("pinned round-2 host-CPU measurement "
+                         "(9,336 columns/s, 512 columns; live CPU "
+                         "baseline skipped: budget exhausted or CPU "
+                         "backend unavailable)")
 
     prec = "f32" if dtype is not None else "f64"
     out = {
@@ -375,14 +409,11 @@ def main():
         # explicit semantics (VERDICT round 2): what the number means
         "env": use_env,
         "diags": diags,
-        "baseline": ("same program, one host-CPU device "
-                     f"({min(ncol, 512)} columns) — a jax-cpu stand-in "
-                     "for the reference's serial per-rank execution "
-                     "(no Fortran compiler on this image)"),
+        "baseline": baseline_note,
     }
     if configs:
         out["configs"] = configs
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -13,8 +13,14 @@ Each process:
    ``host_local_to_global``,
 3. runs the shard_map'd coupled step (``make_sharded_step``) with the
    psum'd global diagnostics — a REAL cross-process collective,
-4. writes its addressable output shards + the replicated global sums to
-   ``<outdir>/proc<pid>.npz`` for the parent test to reassemble.
+4. writes a SHARDED orbax checkpoint of the stepped state (each process
+   contributes only its addressable shards), restores it onto the same
+   global mesh, asserts the restored local shards are bitwise identical,
+   and continues one more step from the RESTORED state — the pod
+   restart contract (pH warm-start fields, BGC_parms.F90:151-152,171),
+5. writes its addressable output shards (2-step and restored+1-step) +
+   the replicated global sums to ``<outdir>/proc<pid>.npz`` for the
+   parent test to reassemble.
 """
 
 import os
@@ -64,13 +70,39 @@ def main():
     fn = make_sharded_step(mesh, ModelParams(), 3600.0,
                            compute_diags=True, nsteps=2)
     final, gdiags = fn(gstate, ggrid, gforcing)
+    jax.block_until_ready(final)
+
+    # ---- sharded checkpoint round-trip (multi-host restart contract) ----
+    from ocean_bgc_tpu.utils import checkpoint as ckpt
+    ckpt_path = os.path.join(outdir, "ckpt_sharded")
+    ckpt.save(ckpt_path, final, step=2, use_orbax=True)
+    restored, rstep = ckpt.restore(ckpt_path, mesh=mesh)
+    assert rstep == 2, rstep
+
+    def local_shards(arr):
+        return {(s.index[-1].start or 0): np.asarray(s.data)
+                for s in arr.addressable_shards}
+
+    # restored local shards must be bitwise identical to what this
+    # process computed (no gather, no precision loss)
+    for a, b in zip(jax.tree.leaves(final), jax.tree.leaves(restored)):
+        la, lb = local_shards(a), local_shards(b)
+        assert la.keys() == lb.keys()
+        for k in la:
+            assert np.array_equal(la[k], lb[k],), "restore not bitwise"
+
+    # continue ONE more step from the RESTORED state: bitwise resume
+    fn1 = make_sharded_step(mesh, ModelParams(), 3600.0,
+                            compute_diags=False, nsteps=1)
+    cont, _ = fn1(restored, ggrid, gforcing)
 
     # collect this process's addressable output shards
     out = {}
-    tracers = final.bgc.tracers
-    for shard in tracers.addressable_shards:
-        col0 = shard.index[-1].start or 0
-        out[f"tracers_{col0}"] = np.asarray(shard.data)
+    for tag, arr in (("tracers", final.bgc.tracers),
+                     ("cont", cont.bgc.tracers)):
+        for shard in arr.addressable_shards:
+            col0 = shard.index[-1].start or 0
+            out[f"{tag}_{col0}"] = np.asarray(shard.data)
     for name in GLOBAL_SUM_DIAGS:
         out[f"gsum_{name}"] = np.asarray(gdiags[name])
     np.savez(os.path.join(outdir, f"proc{pid}.npz"), **out)

@@ -66,6 +66,7 @@ def test_two_process_mesh_matches_single_process(tmp_path):
     # ---- reassemble the distributed result ----
     nlev, ntrc = 6, 30
     got = np.full((nlev, ntrc, TOTAL_COLS), np.nan)
+    got_cont = np.full((nlev, ntrc, TOTAL_COLS), np.nan)
     gsums = {}
     for pid in range(NPROC):
         with np.load(tmp_path / f"proc{pid}.npz") as f:
@@ -74,9 +75,14 @@ def test_two_process_mesh_matches_single_process(tmp_path):
                     col0 = int(key.split("_")[1])
                     block = f[key]
                     got[:, :, col0:col0 + block.shape[-1]] = block
+                elif key.startswith("cont_"):
+                    col0 = int(key.split("_")[1])
+                    block = f[key]
+                    got_cont[:, :, col0:col0 + block.shape[-1]] = block
                 elif key.startswith("gsum_"):
                     gsums.setdefault(key[5:], []).append(float(f[key]))
     assert not np.isnan(got).any(), "missing output shards"
+    assert not np.isnan(got_cont).any(), "missing restored-continue shards"
     # the replicated global sums must agree across processes exactly
     for name, vals in gsums.items():
         assert len(vals) == NPROC
@@ -92,6 +98,12 @@ def test_two_process_mesh_matches_single_process(tmp_path):
                      compute_diags=True)
 
     np.testing.assert_allclose(got, np.asarray(s2.bgc.tracers),
+                               rtol=1e-12, atol=1e-18)
+    # the restored-checkpoint continuation must equal a third plain step
+    # of the same world — proving the sharded orbax save/restore carries
+    # the full restart payload (tracers + pH warm-start fields) bitwise
+    s3, _ = step(s2, grid, forcing, params, 3600.0, compute_diags=False)
+    np.testing.assert_allclose(got_cont, np.asarray(s3.bgc.tracers),
                                rtol=1e-12, atol=1e-18)
     for name in GLOBAL_SUM_DIAGS:
         want = float(np.sum(np.asarray(diags[name])))
