@@ -15,19 +15,23 @@ tracer columns in this package's canonical order — marshaling through
 kernels.  State that the reference carries *in* its argument structs (the
 pH warm starts) is passed in and returned explicitly.
 
-.. warning:: **Tracer order is FIXED, not runtime-configurable.**  The
-   reference lets the host assign arbitrary tracer indices into its
-   ``*_indices_type`` structs at init (BGC_parms.F90:81-125) and indexes
-   through that indirection on every access.  This framework deliberately
-   replaces the indirection with the static canonical order of
-   ``state.BGCTracers`` / ``DMSTracers`` / ``MACROSTracers`` (static
-   indices are what let XLA fuse the tracer block; a runtime permutation
-   would defeat it).  A migrating host MUST permute its tracer storage to
-   the canonical order once at the boundary — ``bgc_init().short_name``
-   / ``dms_init()`` / ``macros_init()`` give the exact order, and
-   ``io.host_layout`` for the (column-major <-> lane-major) packers that
-   do it.  Passing arrays in the host's own tracer order silently
-   computes the wrong physics; there is no runtime check possible.
+**Tracer order: canonical inside, host-configurable at the boundary.**
+The reference lets the host assign arbitrary tracer indices into its
+``*_indices_type`` structs at init (BGC_parms.F90:81-125) and indexes
+through that indirection on every access.  This framework deliberately
+replaces the per-access indirection with the static canonical order of
+``state.BGCTracers`` / ``DMSTracers`` / ``MACROSTracers`` (static
+indices are what let XLA fuse the tracer block; a runtime permutation
+inside the kernel would defeat it).  The indirection survives at the
+*boundary*: every entry point takes an optional ``indices`` mapping
+(canonical short name -> position in the HOST's tracer axis, the direct
+analogue of filling ``BGC_indices_type``).  When given, arrays are
+permuted host->canonical once on ingest and canonical->host once on
+egress — O(bytes) against a kernel that is O(levels x solver iterations)
+— and the mapping is validated as a complete bijection, so a wrong or
+partial host order is an *error*, never silent wrong physics.  Without
+``indices`` the host must already store tracers in canonical order
+(``bgc_init().short_name`` gives the exact order).
 
 Functions are stateless and jit-cached per shape; a production host that
 controls its own device buffers should use the pytree API
@@ -75,6 +79,44 @@ class TracerMetadata(NamedTuple):
     short_name: Tuple[str, ...]
     long_name: Tuple[str, ...]
     units: Tuple[str, ...]
+
+
+def tracer_permutation(indices, names) -> np.ndarray:
+    """Validate a host tracer-index mapping and return the ingest
+    permutation.
+
+    ``indices`` maps each canonical short name in ``names`` to its
+    0-based position in the host's tracer axis — the analogue of the
+    host filling ``BGC_indices_type`` / ``DMS_indices_type`` /
+    ``MACROS_indices_type`` at init (BGC_parms.F90:81-125,
+    DMS_parms.F90:62-83, MACROS_parms.F90:62-77; 0-based here because
+    the arrays are NumPy).  The mapping must be a complete bijection:
+    every canonical tracer named exactly once, positions a permutation
+    of ``range(len(names))``.  Returns ``perm`` with
+    ``canonical[..., c] == host[..., perm[c]]``; invert with
+    ``np.argsort(perm)`` for egress.
+    """
+    names = tuple(names)
+    extra = set(indices) - set(names)
+    missing = set(names) - set(indices)
+    if extra or missing:
+        raise ValueError(
+            f"tracer index map must cover exactly the canonical set: "
+            f"missing={sorted(missing)} unknown={sorted(extra)}")
+    perm = np.asarray([int(indices[n]) for n in names])
+    if sorted(perm.tolist()) != list(range(len(names))):
+        raise ValueError(
+            f"tracer index positions must be a permutation of "
+            f"0..{len(names) - 1}, got {perm.tolist()}")
+    return perm
+
+
+def _ingest_perm(indices, names):
+    """(perm, inverse-perm) or (None, None) when no mapping is given."""
+    if indices is None:
+        return None, None
+    perm = tracer_permutation(indices, names)
+    return perm, np.argsort(perm)
 
 
 def bgc_parms_init(**overrides) -> BGCParams:
@@ -143,13 +185,19 @@ def BGC_SourceSink(
     PH_PREV_3D: Optional[np.ndarray] = None,       # (ncol, nlev)
     PH_PREV_ALT_CO2_3D: Optional[np.ndarray] = None,
     params: Optional[BGCParams] = None,
+    indices: Optional[Dict[str, int]] = None,
 ) -> Dict[str, np.ndarray]:
     """Ecosystem tendencies (BGC_SourceSink, BGC_mod.F90:340-1998).
 
     Returns {"BGC_tendencies": (ncol, nlev, 30), "PH_PREV_3D": ...,
     "PH_PREV_ALT_CO2_3D": ..., "diags": {...}} in host layout.
+    ``indices``: optional host tracer-order map (see module docstring);
+    tendencies come back in the host's order.
     """
     params = params or BGCParams()
+    perm, inv = _ingest_perm(indices, BGC_TRACER_NAMES)
+    if perm is not None:
+        BGC_tracers = BGC_tracers[..., perm]
     ncol, nlev = PotentialTemperature.shape
     z2 = lambda: jnp.zeros((nlev, ncol))  # noqa: E731
 
@@ -189,9 +237,11 @@ def BGC_SourceSink(
               if PH_PREV_ALT_CO2_3D is not None else z2())
 
     out = _bgc_ss_jit(tr, grid, forcing, ph, ph_alt, params)
+    tend = hl.unpack_tracer_block(np.asarray(out.tendencies))
+    if inv is not None:
+        tend = np.ascontiguousarray(tend[..., inv])
     return {
-        "BGC_tendencies": hl.unpack_tracer_block(
-            np.asarray(out.tendencies)),
+        "BGC_tendencies": tend,
         "PH_PREV_3D": hl.from_level_major(np.asarray(out.ph_prev_3d)),
         "PH_PREV_ALT_CO2_3D": hl.from_level_major(
             np.asarray(out.ph_prev_alt_3d)),
@@ -219,10 +269,18 @@ def BGC_SurfaceFluxes(
     gasFlux: Optional[np.ndarray] = None,
     seaIceFlux: Optional[np.ndarray] = None,
     params: Optional[BGCParams] = None,
+    indices: Optional[Dict[str, int]] = None,
 ) -> Dict[str, np.ndarray]:
     """Air-sea fluxes (BGC_SurfaceFluxes, BGC_mod.F90:2706-2957).
-    Returns {"netFlux": (ncol, 30), "surface_pH": ..., "diags": ...}."""
+    Returns {"netFlux": (ncol, 30), "surface_pH": ..., "diags": ...};
+    per-tracer inputs and netFlux follow ``indices`` when given."""
     params = params or BGCParams()
+    perm, inv = _ingest_perm(indices, BGC_TRACER_NAMES)
+    if perm is not None:
+        BGC_tracers = BGC_tracers[..., perm]
+        depositionFlux, riverFlux, gasFlux, seaIceFlux = (
+            a if a is None else a[..., perm]
+            for a in (depositionFlux, riverFlux, gasFlux, seaIceFlux))
     ncol, nlev = BGC_tracers.shape[0], BGC_tracers.shape[1]
     zt = lambda a: (jnp.asarray(np.ascontiguousarray(a.T))  # noqa: E731
                     if a is not None
@@ -255,8 +313,11 @@ def BGC_SurfaceFluxes(
     spha = (jnp.asarray(surface_pH_alt_co2, jnp.float64)
             if surface_pH_alt_co2 is not None else jnp.zeros(ncol))
     out = _bgc_sf_jit(tr, forcing, sph, spha, params)
+    net = np.ascontiguousarray(np.asarray(out.net_flux).T)
+    if inv is not None:
+        net = np.ascontiguousarray(net[..., inv])
     return {
-        "netFlux": np.ascontiguousarray(np.asarray(out.net_flux).T),
+        "netFlux": net,
         "surface_pH": np.asarray(out.surface_ph),
         "surface_pH_alt_co2": np.asarray(out.surface_ph_alt),
         "diags": {k: np.asarray(v) for k, v in out.diags.items()},
@@ -276,9 +337,13 @@ def DMS_SourceSink(
     SST: np.ndarray,
     ShortWaveFlux_surface: np.ndarray,
     params: Optional[DMSParams] = None,
+    indices: Optional[Dict[str, int]] = None,
 ) -> Dict[str, np.ndarray]:
     """Sulfur-cycle tendencies (DMS_SourceSink, DMS_mod.F90:156-770)."""
     params = params or DMSParams()
+    perm, inv = _ingest_perm(indices, DMS_TRACER_NAMES)
+    if perm is not None:
+        DMS_tracers = DMS_tracers[..., perm]
     nlev = DMS_tracers.shape[1]
     kmax = jnp.asarray(number_of_active_levels, jnp.int32)
     active = jnp.arange(nlev, dtype=jnp.int32)[:, None] < kmax[None, :]
@@ -287,8 +352,11 @@ def DMS_SourceSink(
         jnp.asarray(hl.to_level_major(cell_thickness)), active,
         jnp.asarray(SST, jnp.float64),
         jnp.asarray(ShortWaveFlux_surface, jnp.float64), params)
+    tout = hl.unpack_tracer_block(np.asarray(tend))
+    if inv is not None:
+        tout = np.ascontiguousarray(tout[..., inv])
     return {
-        "DMS_tendencies": hl.unpack_tracer_block(np.asarray(tend)),
+        "DMS_tendencies": tout,
         "diags": {k: np.asarray(v) for k, v in diags.items()},
     }
 
@@ -306,12 +374,15 @@ def DMS_SurfaceFluxes(
     iceFraction: np.ndarray, windSpeedSquared10m: np.ndarray,
     surfacePressure: np.ndarray,
     params: Optional[DMSParams] = None,
+    indices: Optional[Dict[str, int]] = None,
 ) -> Dict[str, np.ndarray]:
     """DMS gas flux (DMS_SurfaceFluxes, DMS_mod.F90:778-908).  Returns
     netFlux rows for dms/dmsp plus the 8 flux diagnostics."""
     params = params or DMSParams()
+    perm, _ = _ingest_perm(indices, DMS_TRACER_NAMES)
+    dms_pos = int(perm[0]) if perm is not None else 0  # canonical 0 = dms
     out = _dms_sf_jit(
-        jnp.asarray(DMS_tracers[:, 0, 0], jnp.float64),
+        jnp.asarray(DMS_tracers[:, 0, dms_pos], jnp.float64),
         jnp.asarray(SST, jnp.float64), jnp.asarray(SSS, jnp.float64),
         jnp.asarray(iceFraction, jnp.float64),
         jnp.asarray(windSpeedSquared10m, jnp.float64),
@@ -333,15 +404,22 @@ def MACROS_SourceSink(
     MACROS_tracers: np.ndarray,       # (ncol, nlev, 8)
     number_of_active_levels: np.ndarray,
     params: Optional[MACROSParams] = None,
+    indices: Optional[Dict[str, int]] = None,
 ) -> Dict[str, np.ndarray]:
     """Macromolecule tendencies (MACROS_SourceSink, MACROS_mod.F90:137-411)."""
     params = params or MACROSParams()
+    perm, inv = _ingest_perm(indices, MACROS_TRACER_NAMES)
+    if perm is not None:
+        MACROS_tracers = MACROS_tracers[..., perm]
     nlev = MACROS_tracers.shape[1]
     kmax = jnp.asarray(number_of_active_levels, jnp.int32)
     active = jnp.arange(nlev, dtype=jnp.int32)[:, None] < kmax[None, :]
     tend, diags = _mac_ss_jit(
         jnp.asarray(hl.pack_tracer_block(MACROS_tracers)), active, params)
+    tout = hl.unpack_tracer_block(np.asarray(tend))
+    if inv is not None:
+        tout = np.ascontiguousarray(tout[..., inv])
     return {
-        "MACROS_tendencies": hl.unpack_tracer_block(np.asarray(tend)),
+        "MACROS_tendencies": tout,
         "diags": {k: np.asarray(v) for k, v in diags.items()},
     }
