@@ -215,7 +215,8 @@ class CalibrationResult:
 
     params: ModelParams            # template with the fitted values
     values: Dict[str, float]       # fitted value per path
-    losses: List[float]            # loss per iteration (losses[0] = initial)
+    losses: List[float]            # losses[0] = initial; losses[-1] = at
+                                   # the RETURNED params (iters+1 entries)
     theta: np.ndarray              # raw optimizer variables at exit
 
 
@@ -290,6 +291,11 @@ def calibrate(
         losses.append(float(loss))
         updates, opt_state = opt.update(g, opt_state, theta)
         theta = optax.apply_updates(theta, updates)
+    # one final evaluation so losses[-1] is the loss AT the returned
+    # parameters (the loop records the loss before each update, which
+    # would misreport final fit quality by one optimizer step)
+    if iters > 0:
+        losses.append(float(value_and_grad(theta)[0]))
 
     values = {p: float(v) for p, v in zip(paths, to_values(theta))}
     return CalibrationResult(

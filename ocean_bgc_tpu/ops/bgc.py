@@ -488,7 +488,12 @@ def ecosystem_kinetics(
             # would form fe**2 (flushes on TPU below ~1e-19); the
             # fe==0 value (0 vs the old X/1) is discarded by this
             # where and the fe==0 override below — forward bitwise
-            # unchanged on selected lanes
+            # unchanged on selected lanes.  Range bound for the custom
+            # JVP (numerics.py): the numerator is the CONSTANT
+            # C = GQSI_0*CKSI*kFe ~ 1e-4, so q = C/fe <= ~1e34 even at
+            # the emulation flush threshold fe ~ 1e-38 — inside the
+            # ~1e38 range only because C is small; changing these
+            # constants upward needs a re-audit
             gs = jnp.where(
                 (fe < c.CKSI * au.kFe) & (fe > 0.0)
                 & (sio3 > c.CKSI * au.kSiO3),

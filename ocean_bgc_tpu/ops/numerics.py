@@ -32,8 +32,14 @@ def safe_div(num, den):
     BGC parameter gradient to NaN on chip while the CPU suite (true
     IEEE f64) stayed green.  The derivative is re-associated as
     ``q*(1/den)`` — the same value through factors that each stay
-    inside the emulation range whenever num and den are comparable
-    (true at every call site: num scales with den)."""
+    inside the emulation range.  The actual condition is that
+    ``q = num/den`` and ``1/den`` each stay below ~1e38 — automatic
+    when num scales with den (most call sites), but a call site with a
+    CONSTANT numerator over an arbitrarily tiny denominator must bound
+    ``num/den`` itself (see the GQSI site in ops/bgc.py: q <= C/fe with
+    C ~ 1e-4, ~1e34 at the f64-emulation flush threshold fe ~ 1e-38 —
+    inside range, but only because C is small; a larger constant there
+    would need its own guard)."""
     return jnp.where(den != 0.0, num / jnp.where(den != 0.0, den, 1.0), 0.0)
 
 

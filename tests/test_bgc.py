@@ -204,3 +204,60 @@ def test_level_scan_unroll_ulp_equivalent(rng, monkeypatch):
         outs.append(np.asarray(out.tendencies))
     for other in outs[1:]:
         np.testing.assert_allclose(other, outs[0], rtol=1e-13, atol=1e-19)
+
+
+def test_nitrif_taper_extreme_par_out(rng):
+    """Pin the euphotic-zone nitrification taper in the extreme-but-
+    representable regime the 1e-37 log floor was added around
+    (ops/bgc.py ~:873, ADVICE round 3): a single cell of optical depth
+    ~74 puts par_out near 1e-30 — far below any physical value yet
+    comfortably above the TPU f64-emulation flush threshold — and the
+    floored CPU forward must still match the floor-free oracle formula
+    (BGC_mod.F90:1552-1560) through the PAR-path tolerance."""
+    import math
+
+    from tests.oracle.bgc_ref import F_QSW_PAR, _par_cell
+
+    trc, grid, forcing, params, ph_prev, ph_alt = make_inputs(
+        rng, nlev=4, ncol=6)
+    trc = trc.copy()
+    nh4 = 0.7
+    trc[0, T.NH4, :] = nh4
+    # column 0, level 0: huge chlorophyll * thickness -> kpar_dz ~ 74
+    trc[0, T.SPCHL, 0] = 10.0
+    for g in range(1, 4):
+        trc[0, T.CHL_IND[g], 0] = 0.0
+    dz = np.full((4, 6), 400.0)
+    dz[0, 0] = 22890.0
+    zbot = np.cumsum(dz, axis=0)
+    grid = ColumnGrid(
+        cell_center_depth=jnp.asarray(zbot - 0.5 * dz),
+        cell_thickness=jnp.asarray(dz),
+        cell_bottom_depth=jnp.asarray(zbot),
+        latitude=grid.latitude,
+        kmax=jnp.asarray(np.ones(6, np.int32)),  # only k=0 active
+    )
+    import dataclasses
+    forcing = dataclasses.replace(
+        forcing, shortwave_surface=jnp.asarray(np.full(6, 300.0)))
+
+    # the directed world really is in the extreme regime (oracle math)
+    par_in = 300.0 * F_QSW_PAR
+    par_out, _, kpar_dz = _par_cell(par_in, 10.0, 22890.0)
+    assert 1e-37 < par_out < 1e-25, par_out
+    assert par_in > params.parm_nitrif_par_lim > par_out
+
+    out = bgc_source_sink(jnp.asarray(trc), grid, forcing,
+                          jnp.asarray(ph_prev), jnp.asarray(ph_alt),
+                          params)
+    got = float(np.asarray(out.diags["NITRIF"])[0, 0])
+    want = (params.parm_kappa_nitrif * nh4
+            * math.log(par_out / params.parm_nitrif_par_lim)
+            / (-kpar_dz))
+    # taper engaged, reduces but does not kill nitrification
+    assert 0.0 < got < params.parm_kappa_nitrif * nh4
+    # CPU forward with the 1e-37 floor == floor-free formula (the floor
+    # is an exact no-op for any representable par_out >= 1e-37); the
+    # tolerance is the kernel-vs-oracle PAR-path ULP envelope, same as
+    # test_bgc_matches_oracle
+    np.testing.assert_allclose(got, want, rtol=1e-9)

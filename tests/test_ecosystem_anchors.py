@@ -333,3 +333,157 @@ def test_phaeo_mmrt_hemisphere_window():
     photo = np.asarray(out.diags["photoC"])[0, PHAEO]   # surface row
     assert (photo[lat > 0] > 0.0).all(), "phaeo shut off in the north"
     np.testing.assert_array_equal(photo[lat < 0], 0.0)
+
+
+def test_grazing_loss_routing_closures():
+    """Routing-budget closures hand-derived from the REFERENCE TEXT
+    (BGC_mod.F90:1354-1372 routing, :1404-1415 zoo routing, :1421-1430
+    DOM production, :1466-1467 POC production, :1729-1739 DIC assembly;
+    fractions from BGC_parms.F90:576-580/615-619/654-658/693-697,
+    parm_labile_ratio=0.85 :531, caco3_poc_min=0.4/spc_poc_fac=0.11/
+    f_graze_sp_poc_lim=0.3 :395-399, f_graze_CaCO3_remin=0.33 :402,
+    epsC=1e-8/epsTinv=3.17e-8 :480-481) — NOT from the kernel or the
+    oracle, which share an author (VERDICT round 3 #8).  The grazing /
+    mortality / aggregation RATES come from the kernel's own emitted
+    diagnostics; only the ROUTING of those rates is hand-asserted:
+
+      graze:  zoo 0.3 | poc trait (sp: max(0.4*QCaCO3,
+              min(0.11*max(1, Pprime), 0.3))) | doc 0.15 | dic rest
+      loss:   poc trait (sp: QCaCO3) | remainder split 0.15 DOC / 0.85
+              DIC (labile ratio)
+      zoo:    f_zoo_detr (graze-weighted 0.15/0.2/0.15/0.2) to POC;
+              remainder split 0.15 DOC / 0.85 DIC
+      P:      diaz (Qp=0.002735 != 0.00855) re-routes its excess P,
+              0.15 of it to DOP
+
+    in a directed dark, nutrient-free, DOM-free shallow world where
+    every other DIC/DOC/POC source is structurally zero.
+    """
+    state, grid, forcing = _world(nlev=1, ncol=4, seed=33)
+    params = ModelParams()
+    forcing = dataclasses.replace(
+        forcing,
+        shortwave_surface=jnp.zeros_like(forcing.shortwave_surface),
+        dust_flux_in=jnp.zeros_like(forcing.dust_flux_in),
+        nutr_restore_rtau=jnp.zeros_like(forcing.nutr_restore_rtau),
+        potential_temperature=jnp.full_like(
+            forcing.potential_temperature, 20.0),
+    )
+    # shallow cell (50 m < thres_z1 = 100 m): f_loss_thres = 1 exactly
+    dz = np.full((1, 4), 5000.0)          # cm
+    grid = dataclasses.replace(
+        grid,
+        cell_thickness=jnp.asarray(dz),
+        cell_bottom_depth=jnp.asarray(np.cumsum(dz, axis=0)),
+        cell_center_depth=jnp.asarray(np.cumsum(dz, axis=0) - 0.5 * dz),
+        kmax=jnp.asarray(np.ones(4, np.int32)),
+    )
+
+    spc, spcaco3, zooc = 1.0, 0.05, 0.5
+
+    def directed(trc):
+        trc[:] = 0.0
+        trc[:, T.DIC] = 2000.0
+        trc[:, T.DIC_ALT_CO2] = 2000.0
+        trc[:, T.ALK] = 2300.0
+        trc[:, T.O2] = 300.0              # oxic: no denitrif
+        for g in range(4):
+            trc[:, GROUP_C[g]] = 1.0
+            trc[:, GROUP_CHL[g]] = 0.25
+            trc[:, GROUP_FE[g]] = 4e-6
+        trc[:, T.SPC] = spc
+        trc[:, T.SPCACO3] = spcaco3
+        trc[:, T.DIATSI] = 0.15
+        trc[:, T.ZOOC] = zooc
+
+    state = _set_tracers(state, directed)
+    out = _eval(state, grid, forcing, params)
+    d = {k: np.asarray(v) for k, v in out.diags.items()}
+    tend = np.asarray(out.tendencies)
+
+    graze = d["auto_graze"][0]            # (nauto, ncol)
+    loss = d["auto_loss"][0]
+    agg = d["auto_agg"][0]
+    zoo_loss = d["zoo_loss"][0]
+    assert (graze > 0).all() and (loss > 0).all() and (zoo_loss > 0).all()
+
+    labile = 0.85                         # BGC_parms.F90:531
+    # QCaCO3 carries the reference's own epsC guard in the denominator
+    # (BGC_mod.F90:894-896); < QCaCO3_max = 0.4
+    qcaco3 = spcaco3 / (spc + 1.0e-8)
+    # sp grazing POC fraction: Pprime = spC - 1*loss_thres = 0.96, so
+    # min(0.11*max(1, 0.96), 0.3) = 0.11 > 0.4*QCaCO3 = 0.02
+    sp_poc_frac = max(0.4 * qcaco3, min(0.11 * max(1.0, spc - 0.04), 0.3))
+    assert sp_poc_frac == 0.11
+    graze_poc_frac = np.array([sp_poc_frac, 0.42, 0.05, 0.42])
+    graze_zoo_frac = np.array([0.3, 0.3, 0.3, 0.3])
+    graze_doc_frac = np.array([0.15, 0.15, 0.15, 0.15])
+    loss_poc_frac = np.array([qcaco3, 0.0, 0.0, 0.0])
+    f_zoo_detr_g = np.array([0.15, 0.2, 0.15, 0.2])
+
+    graze_zoo = graze_zoo_frac[:, None] * graze
+    graze_poc = graze_poc_frac[:, None] * graze
+    graze_doc = graze_doc_frac[:, None] * graze
+    graze_dic = graze - graze_zoo - graze_poc - graze_doc
+    loss_poc = loss_poc_frac[:, None] * loss
+    loss_doc = (1 - labile) * (loss - loss_poc)
+    loss_dic = labile * (loss - loss_poc)
+
+    w = graze + 1.0e-8 * 3.17e-8          # epsC * epsTinv
+    f_zoo_detr = (f_zoo_detr_g[:, None] * w).sum(0) / w.sum(0)
+    zoo_loss_doc = (1 - labile) * (1 - f_zoo_detr) * zoo_loss
+    zoo_loss_dic = labile * (1 - f_zoo_detr) * zoo_loss
+
+    # 1) zooplankton gains exactly the graze_zoo share
+    # tendencies are small differences of larger routed terms, so ULP
+    # noise in the inputs is cancellation-amplified -> 1e-9 envelope
+    np.testing.assert_allclose(tend[0, T.ZOOC],
+                               graze_zoo.sum(0) - zoo_loss, rtol=1e-12,
+                               atol=1e-20)
+    # 2) POC production = routed grazing + all aggregation + routed
+    #    mortality + detrital zoo share (BGC_mod.F90:1466-1467)
+    np.testing.assert_allclose(
+        d["POC_PROD"][0],
+        graze_poc.sum(0) + agg.sum(0) + loss_poc.sum(0)
+        + f_zoo_detr * zoo_loss, rtol=1e-13)
+    # 3) DOC production (BGC_mod.F90:1421) and the DOC tendency (no
+    #    remin: DOC == 0)
+    np.testing.assert_allclose(
+        d["DOC_prod"][0],
+        graze_doc.sum(0) + loss_doc.sum(0) + zoo_loss_doc, rtol=1e-13)
+    np.testing.assert_allclose(tend[0, T.DOC], d["DOC_prod"][0],
+                               rtol=1e-13)
+    # 4) DIC receives every remainder plus in-cell remineralization and
+    #    the 33% grazed-CaCO3 dissolution (BGC_mod.F90:1729-1739); dark
+    #    => photoC = CaCO3_PROD = 0, DOM-free => DOC_remin = 0
+    np.testing.assert_array_equal(d["photoC_TOT"][0], 0.0)
+    # CaCO3 FORMATION (the DIC-assembly term CaCO3_PROD(auto_ind),
+    # proportional to photoC) is zero in the dark; the separately-named
+    # particulate-production diag CaCO3_PROD = P_CaCO3%prod is NOT
+    np.testing.assert_array_equal(d["tot_CaCO3_form"][0], 0.0)
+    np.testing.assert_allclose(
+        tend[0, T.DIC],
+        graze_dic.sum(0) + loss_dic.sum(0) + zoo_loss_dic
+        + d["POC_REMIN"][0] + d["CaCO3_REMIN"][0]
+        + 0.33 * graze[0] * qcaco3, rtol=1e-12, atol=1e-20)
+    # 5) total carbon closure of the routing split itself
+    np.testing.assert_allclose(
+        (graze_zoo + graze_poc + graze_doc + graze_dic).sum(0),
+        graze.sum(0), rtol=1e-14)
+    np.testing.assert_allclose(
+        (loss_poc + loss_doc + loss_dic).sum(0), loss.sum(0), rtol=1e-14)
+    # 6) variable-Qp re-routing (diaz Qp = 0.002735 != Qp_zoo_pom =
+    #    0.00855, BGC_parms.F90:634/422; BGC_mod.F90:1380-1386 and the
+    #    DOP_prod assembly :1423-1430)
+    qp_zoo, qp = 0.00855, np.array([0.00855, 0.00855, 0.002735, 0.00855])
+    dop_prod = qp_zoo * zoo_loss_doc
+    for g in range(4):
+        if qp[g] == qp_zoo:
+            dop_prod = dop_prod + qp[g] * (loss_doc[g] + graze_doc[g])
+        else:
+            remaining_p = ((graze[g] + loss[g] + agg[g]) * qp[g]
+                           - graze_zoo[g] * qp_zoo
+                           - (graze_poc[g] + loss_poc[g] + agg[g])
+                           * qp_zoo)
+            dop_prod = dop_prod + (1 - labile) * remaining_p
+    np.testing.assert_allclose(d["DOP_prod"][0], dop_prod, rtol=1e-13)
