@@ -103,11 +103,14 @@ def resolve_interior_impl(impl: str, dtype, compute_diags: bool) -> str:
     "auto" -> "xla" (the batched-kinetics XLA path with the fused
     Pallas carbonate solve at f32 — the measured winner).  "fused"
     opts into the whole-column Pallas kernel
-    (:mod:`ocean_bgc_tpu.ops.pallas_step`): one VMEM-resident kernel
-    for the entire interior, qualified to the XLA path's trajectory
-    envelope, but measured 0.86x the default on v5e (the f32 step is
-    compute-bound, so removing the intermediate HBM traffic does not
-    pay — docs/BENCHMARKS.md round 3).  float32 + diags-off only;
+    (:mod:`ocean_bgc_tpu.ops.pallas_step`), which is
+    **EXPERIMENTAL-FROZEN** (round 4): it measured 0.86x the default on
+    v5e and the roofline analysis shows the f32 step is compute-bound,
+    so removing the intermediate HBM traffic cannot pay
+    (docs/BENCHMARKS.md "fused-kernel decision").  It stays available
+    (qualified through round 3 to the XLA path's trajectory envelope;
+    now covered by a smoke test only), but receives no further tuning
+    unless the roofline balance changes.  float32 + diags-off only;
     forward-only (no custom VJP — use "xla" under jax.grad)."""
     if impl == "auto":
         return "xla"

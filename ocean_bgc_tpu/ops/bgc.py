@@ -50,6 +50,7 @@ truth for every formula; only the scheduling differs.
 from __future__ import annotations
 
 import dataclasses
+import math
 import os
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
@@ -140,6 +141,12 @@ def resolve_carbonate_impl(impl: str, dtype) -> str:
 _safe_div = safe_div
 
 
+# Morel-fit prefactors as log-space constants (folded at trace time;
+# math.log is exact-input double precision, not a traced op)
+_LOG_KPAR_A1 = math.log(0.000919)
+_LOG_KPAR_A2 = math.log(0.001131)
+
+
 def _par_field(par_surf_row, total_chl, dz, active):
     """PAR at the top/average/absorption of every cell, in one shot.
 
@@ -155,9 +162,21 @@ def _par_field(par_surf_row, total_chl, dz, active):
     ``par_surf_row`` is (1, ncol) (broadcasts against (nlev, ncol)).
     """
     chl = jnp.maximum(total_chl, 0.02)
-    kpar = jnp.where(chl < 0.13224,
-                     0.000919 * chl ** 0.3536,
-                     0.001131 * chl ** 0.4562)
+    # two-band Morel fit (BGC_mod.F90:907-924): a1*chl**p1 / a2*chl**p2.
+    # Each pow lowers to exp(p*log(chl)) — under f64 emulation both
+    # branches' transcendentals are evaluated for every cell.  Sharing
+    # log(chl) and folding the branch constants into the exponent gives
+    # ONE log + ONE exp per cell (the exponent select is free):
+    #   a*chl**p = exp(log(a) + p*log(chl)),
+    # equal to the pow form to ~1 ulp (qualified by the oracle suite's
+    # PAR-path envelope and the trajectory gates).  Range audit: chl in
+    # [0.02, ~100] -> log in [-3.9, 4.6]; the folded exponent stays in
+    # [-8.4, -4.6] -> kpar in [2e-4, 1e-2] 1/cm; derivative
+    # d kpar/d chl = p*kpar/chl is in range for chl >= 0.02.
+    log_chl = jnp.log(chl)
+    kpar = jnp.exp(jnp.where(chl < 0.13224,
+                             _LOG_KPAR_A1 + 0.3536 * log_chl,
+                             _LOG_KPAR_A2 + 0.4562 * log_chl))
     kpar_dz = kpar * dz
     att = jnp.exp(-kpar_dz)
     # inactive cells pass PAR through unchanged (the scan carry freeze)
@@ -1132,14 +1151,17 @@ def bgc_source_sink(
     temp_s = jnp.where(active, temp, 10.0)
     salt_s = jnp.where(active, salt, 35.0)
 
-    phlo = jnp.where(ph_prev_3d != 0.0, ph_prev_3d - c.DEL_PH,
-                     c.PHLO_3D_INIT)
-    phhi = jnp.where(ph_prev_3d != 0.0, ph_prev_3d + c.DEL_PH,
-                     c.PHHI_3D_INIT)
-    phlo_alt = jnp.where(ph_prev_alt_3d != 0.0,
-                         ph_prev_alt_3d - c.DEL_PH, c.PHLO_3D_INIT)
-    phhi_alt = jnp.where(ph_prev_alt_3d != 0.0,
-                         ph_prev_alt_3d + c.DEL_PH, c.PHHI_3D_INIT)
+    if carbonate_impl == "pallas":
+        # the Mosaic kernel converts pH-space brackets itself (cheap
+        # hardware f32 pows)
+        phlo = jnp.where(ph_prev_3d != 0.0, ph_prev_3d - c.DEL_PH,
+                         c.PHLO_3D_INIT)
+        phhi = jnp.where(ph_prev_3d != 0.0, ph_prev_3d + c.DEL_PH,
+                         c.PHHI_3D_INIT)
+        phlo_alt = jnp.where(ph_prev_alt_3d != 0.0,
+                             ph_prev_alt_3d - c.DEL_PH, c.PHLO_3D_INIT)
+        phhi_alt = jnp.where(ph_prev_alt_3d != 0.0,
+                             ph_prev_alt_3d + c.DEL_PH, c.PHHI_3D_INIT)
     # ambient + ALT_CO2 solves of the same cell (the reference's two
     # comp_CO3terms calls, BGC_mod.F90:952-978) share coefficients
     # the health check re-evaluates the TA residual at the returned pH,
@@ -1179,11 +1201,20 @@ def bgc_source_sink(
             (ph_3d, h2co3, hco3, co3, ph_3d_alt, h2co3_alt, hco3_alt,
              co3_alt))
     else:
+        # H-space warm brackets: one 10**-ph per cell per scenario
+        # instead of two (carbonate.py::warm_brackets_h; the reference's
+        # +/-del_ph window, BGC_mod.F90:943-956, reproduced to 1 ulp in
+        # the endpoints, which only seed the root search)
+        from ocean_bgc_tpu.ops.carbonate import warm_brackets_h
+        br = warm_brackets_h(ph_prev_3d, c.PHLO_3D_INIT, c.PHHI_3D_INIT,
+                             c.DEL_PH)
+        br_alt = warm_brackets_h(ph_prev_alt_3d, c.PHLO_3D_INIT,
+                                 c.PHHI_3D_INIT, c.DEL_PH)
         ((ph_3d, h2co3, hco3, co3),
          (ph_3d_alt, h2co3_alt, hco3_alt, co3_alt)) = co3_terms_dual(
             depth_m, temp_s, salt_s, dic_s, alk_s, po4, sio3,
-            phlo, phhi, phlo_alt, phhi_alt, subsurface,
-            coeffs=coeffs_h)
+            None, None, None, None, subsurface,
+            coeffs=coeffs_h, brackets_a=br, brackets_b=br_alt)
         if env is not None:
             co3_sat_calc = env.co3_sat_calc
             co3_sat_arag = env.co3_sat_arag

@@ -611,9 +611,37 @@ def co3_terms(depth_m, temp, salt, dic_in, ta_in, pt_in, sit_in,
     return ph, h2co3, hco3, co3
 
 
+def warm_brackets_h(ph_prev, lo_init, hi_init, del_ph):
+    """H-space warm-start brackets with ONE transcendental per cell.
+
+    The reference brackets a warm-started solve at ph_prev +/- del_ph
+    (BGC_mod.F90:943-956) and the solver needs H-space endpoints, so the
+    direct form costs two pows per cell: 10**-(ph+del) and 10**-(ph-del).
+    Since 10**-(ph +/- del) == (10**-ph) * 10**(-/+ del) and del_ph is a
+    compile-time constant, one pow plus two constant multiplies gives
+    the same endpoints to within 1 ulp.  Cold lanes (ph_prev == 0, the
+    no-previous-solution sentinel) take the constant wide bracket
+    [10**-hi_init, 10**-lo_init], constant-folded by XLA — bitwise
+    identical to the direct form there.  The bracket endpoints only
+    seed the root search (the returned root is converged to xacc and
+    the solution is independent of the endpoints — see
+    _solve_htotal_bwd), so the 1-ulp endpoint change stays inside the
+    solver-tolerance envelope the trajectory gates already allow.
+    Range audit: h_prev in [1e-10, 1e-6] for any physical pH; the
+    constants 10**(+/-del) are O(1); derivative d x/d ph = -ln10 * x is
+    in range; the cold stand-in pH 8.0 keeps the discarded lane benign.
+    """
+    warm = ph_prev != 0.0
+    h_prev = 10.0 ** -jnp.where(warm, ph_prev, 8.0)
+    x1 = jnp.where(warm, h_prev * (10.0 ** -del_ph), 10.0 ** -hi_init)
+    x2 = jnp.where(warm, h_prev * (10.0 ** del_ph), 10.0 ** -lo_init)
+    return x1, x2
+
+
 def co3_terms_dual(depth_m, temp, salt, dic_in, ta_in, pt_in, sit_in,
                    phlo_a, phhi_a, phlo_b, phhi_b, apply_pressure,
-                   *, coeffs: CarbCoeffs = None):
+                   *, coeffs: CarbCoeffs = None, brackets_a=None,
+                   brackets_b=None):
     """Two pH solves of the SAME (DIC, TA) cell from two warm-start
     brackets — the reference's ambient + ALT_CO2 interior pattern
     (BGC_mod.F90:952-978).  The equilibrium coefficients depend only on
@@ -625,6 +653,11 @@ def co3_terms_dual(depth_m, temp, salt, dic_in, ta_in, pt_in, sit_in,
     ``coeffs``: optionally supply precomputed equilibrium constants
     (the forcing-invariant coefficient cache, ops/bgc.py::EnvCache) —
     the cache evaluates the same expressions on the same inputs.
+
+    ``brackets_a`` / ``brackets_b``: optionally supply H-space bracket
+    endpoints ``(x1, x2)`` directly (see :func:`warm_brackets_h`) and
+    skip the per-cell 10**-ph conversions; the corresponding
+    phlo/phhi arguments are then ignored.  Sequential (f64) path only.
 
     Returns ((ph, h2co3, hco3, co3) for bracket a, same for bracket b).
     """
@@ -641,10 +674,16 @@ def co3_terms_dual(depth_m, temp, salt, dic_in, ta_in, pt_in, sit_in,
         # Measured on v5e at the flagship config: +8.5% columns/s at f32;
         # at f64 the doubled per-iteration working set costs more than
         # the merged trips save (-11%), so f64 keeps sequential solves.
-        x1 = jnp.stack([jnp.broadcast_to(10.0 ** (-phhi_a), dic.shape),
-                        jnp.broadcast_to(10.0 ** (-phhi_b), dic.shape)])
-        x2 = jnp.stack([jnp.broadcast_to(10.0 ** (-phlo_a), dic.shape),
-                        jnp.broadcast_to(10.0 ** (-phlo_b), dic.shape)])
+        if brackets_a is not None:
+            x1 = jnp.stack([jnp.broadcast_to(brackets_a[0], dic.shape),
+                            jnp.broadcast_to(brackets_b[0], dic.shape)])
+            x2 = jnp.stack([jnp.broadcast_to(brackets_a[1], dic.shape),
+                            jnp.broadcast_to(brackets_b[1], dic.shape)])
+        else:
+            x1 = jnp.stack([jnp.broadcast_to(10.0 ** (-phhi_a), dic.shape),
+                            jnp.broadcast_to(10.0 ** (-phhi_b), dic.shape)])
+            x2 = jnp.stack([jnp.broadcast_to(10.0 ** (-phlo_a), dic.shape),
+                            jnp.broadcast_to(10.0 ** (-phlo_b), dic.shape)])
         htotal = solve_htotal(coeffs, dic, ta, pt, sit, x1, x2)
 
         htotal2 = htotal ** 2
@@ -658,9 +697,12 @@ def co3_terms_dual(depth_m, temp, salt, dic_in, ta_in, pt_in, sit_in,
         return ((ph[0], h2co3[0], hco3[0], co3[0]),
                 (ph[1], h2co3[1], hco3[1], co3[1]))
 
-    def one(phlo, phhi):
-        x1 = 10.0 ** (-phhi)
-        x2 = 10.0 ** (-phlo)
+    def one(phlo, phhi, brackets):
+        if brackets is not None:
+            x1, x2 = brackets
+        else:
+            x1 = 10.0 ** (-phhi)
+            x2 = 10.0 ** (-phlo)
         htotal = solve_htotal(coeffs, dic, ta, pt, sit, x1, x2)
         htotal2 = htotal ** 2
         denom = 1.0 / (htotal2 + coeffs.k1 * htotal
@@ -670,7 +712,8 @@ def co3_terms_dual(depth_m, temp, salt, dic_in, ta_in, pt_in, sit_in,
         co3 = dic * coeffs.k1 * coeffs.k2 * denom * MASS_TO_VOL
         return -jnp.log10(htotal), h2co3, hco3, co3
 
-    return one(phlo_a, phhi_a), one(phlo_b, phhi_b)
+    return (one(phlo_a, phhi_a, brackets_a),
+            one(phlo_b, phhi_b, brackets_b))
 
 
 def co2calc_surface_dual(depth_m, temp, salt, dic_a, dic_b, ta_in, pt_in,

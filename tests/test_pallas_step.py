@@ -1,21 +1,23 @@
-"""Fused whole-column Pallas step kernel vs the XLA f32 path.
+"""Smoke test for the EXPERIMENTAL-FROZEN fused whole-column kernel.
 
-The fused kernel (ops/pallas_step.py) reuses the SAME kinetics/assembly/
-particulate code the XLA path traces (ops/bgc.py), so any disagreement
-comes from the three deliberate scheduling substitutions:
+``interior_impl="fused"`` (ops/pallas_step.py) is frozen as an opt-in
+experiment (docs/BENCHMARKS.md "fused-kernel decision", round 4): it
+measured 0.86x the shipped default at the flagship f32 config, and the
+round-2/3 roofline analysis shows the f32 step is COMPUTE-bound, so
+removing HBM traffic cannot win.  The full qualification suite
+(flat/ragged parametrization, shard_map composition, 48-step
+perturbation-envelope trajectory) ran green through round 3 (git
+history of this file); what remains here is one composed smoke config
+plus the fast unit pins of the kernel's three scheduling substitutions
+— enough to catch rot without paying multiple interpreter-mode compiles
+per suite run.
 
-  * PAR: MXU triangular-matmul cumsum instead of ``cumprod``,
-  * scale-length: explicit piecewise selects instead of ``jnp.interp``,
-  * carbonate: in-kernel stacked dual solve (pH only).
-
-Each substitution is pinned individually at f64 tightness; the composed
-step is compared at f32 tolerance on a ragged world (on CPU the kernel
-runs in interpreter mode — the TPU compiled path is exercised by
-bench/BENCH_MODE and the fp32 trajectory gates).
+This module is run in a FRESH interpreter by
+tests/test_pallas_step_isolated.py (the kernel's interpret-mode compile
+can segfault LLVM late in a long-lived suite process on this image).
 """
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 
@@ -59,11 +61,12 @@ def test_par_field_mxu_matches_cumprod():
                                    err_msg=name)
 
 
-@pytest.mark.parametrize("ragged", [True, False])
-def test_fused_step_matches_xla_f32(ragged):
-    nlev, ncol = 20, 192      # 192: exercises the 128-lane padding path
+def test_fused_step_smoke_matches_xla_f32():
+    """One composed config (ragged, 128-lane padding path): the frozen
+    kernel still produces the XLA path's physics at f32 tolerance."""
+    nlev, ncol = 20, 192
     state, grid, forcing = synthetic_world(nlev=nlev, ncol=ncol, seed=7,
-                                           ragged=ragged,
+                                           ragged=True,
                                            dtype=jnp.float32)
     params = BGCParams()
 
@@ -75,107 +78,16 @@ def test_fused_step_matches_xla_f32(ragged):
         state.bgc.tracers, grid, forcing,
         state.bgc.ph_prev_3d, state.bgc.ph_prev_alt_3d, params)
 
-    # pH warm-start state: agrees to the f32 solver tolerance
     np.testing.assert_allclose(np.asarray(got.ph_prev_3d),
                                np.asarray(ref.ph_prev_3d),
                                rtol=0.0, atol=5e-5)
     np.testing.assert_allclose(np.asarray(got.ph_prev_alt_3d),
                                np.asarray(ref.ph_prev_alt_3d),
                                rtol=0.0, atol=5e-5)
-
-    # tendencies: identical physics, f32 re-association noise only.
-    # scale per-tracer (tendency magnitudes span ~15 decades)
     w = np.asarray(ref.tendencies)
     g = np.asarray(got.tendencies)
     scale = np.maximum(np.abs(w).max(axis=(0, 2), keepdims=True), 1e-30)
     np.testing.assert_allclose(g / scale, w / scale, rtol=0.0, atol=3e-5)
-
-
-def test_fused_step_under_shard_map():
-    """The fused kernel composes with the columns-mesh shard_map (vma
-    propagation on the pallas_call out_shapes): sharded fused step ==
-    single-device fused step.  Interpreter mode on the CPU mesh; the
-    compiled TPU path is exercised by the flagship bench."""
-    from ocean_bgc_tpu.parallel.sharding import (
-        make_mesh,
-        make_sharded_step,
-        shard_world,
-    )
-    from ocean_bgc_tpu.params import ModelParams
-
-    ndev = len(jax.devices())
-    nlev, ncol = 6, 16 * ndev
-    state, grid, forcing = synthetic_world(nlev=nlev, ncol=ncol, seed=3,
-                                           ragged=True,
-                                           dtype=jnp.float32)
-    params = ModelParams()
-
-    from ocean_bgc_tpu.models.coupled import step
-    want, _ = step(state, grid, forcing, params, 3600.0,
-                   compute_diags=False, interior_impl="fused")
-
-    mesh = make_mesh()
-    s_state, s_grid, s_forcing = shard_world(state, grid, forcing, mesh)
-    # check_vma=False: interpreter-mode-only workaround (see
-    # parallel/sharding.py) — the compiled Mosaic path keeps the check
-    fn = make_sharded_step(mesh, params, 3600.0, interior_impl="fused",
-                           check_vma=False)
-    got, _ = fn(s_state, s_grid, s_forcing)
-
-    # ulp-level only: the PAR matmul's contraction order varies with the
-    # batch width the backend sees (16 local + pad vs 128), so exact
-    # bitwise equality across shardings is not guaranteed
-    w = np.asarray(want.bgc.tracers)
-    g = np.asarray(got.bgc.tracers)
-    scale = np.maximum(np.abs(w).max(axis=(0, 2), keepdims=True), 1e-30)
-    np.testing.assert_allclose(g / scale, w / scale, rtol=0.0, atol=1e-5)
-
-
-def test_fused_trajectory_within_perturbation_envelope():
-    """Multi-step qualification of the fused kernel against the XLA f32
-    path, by the same chaos-yardstick methodology as the fp32-vs-f64
-    gate (tests/test_fp32_trajectory.py): per-step disagreement is
-    ulp-level except at cells sitting exactly on a discrete physics
-    threshold (e.g. the PAR>1 dark-remineralization switch), where a
-    one-ulp input difference flips the branch.  Those flips act like a
-    tiny initial-condition perturbation, so the fused trajectory must
-    stay inside the XLA path's own response envelope to an f32-epsilon
-    kick."""
-    import dataclasses
-    from ocean_bgc_tpu.models.coupled import run
-    from ocean_bgc_tpu.params import ModelParams
-
-    nsteps, dt = 48, 3600.0
-    nlev, ncol = 8, 64
-    state, grid, forcing = synthetic_world(nlev=nlev, ncol=ncol, seed=11,
-                                           ragged=True,
-                                           dtype=jnp.float32)
-    params = ModelParams()
-
-    ref, _ = jax.jit(lambda s: run(s, grid, forcing, params, dt, nsteps,
-                                   interior_impl="xla"))(state)
-    fused, _ = jax.jit(lambda s: run(s, grid, forcing, params, dt,
-                                     nsteps,
-                                     interior_impl="fused"))(state)
-    pert = dataclasses.replace(
-        state, bgc=dataclasses.replace(
-            state.bgc,
-            tracers=state.bgc.tracers * np.float32(1.0 + 1.2e-7)))
-    yard, _ = jax.jit(lambda s: run(s, grid, forcing, params, dt, nsteps,
-                                    interior_impl="xla"))(pert)
-
-    got = np.asarray(fused.bgc.tracers, np.float64)
-    want = np.asarray(ref.bgc.tracers, np.float64)
-    env = np.abs(np.asarray(yard.bgc.tracers, np.float64) - want)
-    assert np.isfinite(got).all()
-    from ocean_bgc_tpu.state import BGCTracers as T
-    for idx in range(T.CNT):
-        mismatch = np.abs(got[:, idx] - want[:, idx]).max()
-        scale = np.abs(want[:, idx]).max() + 1e-30
-        bound = 30.0 * env[:, idx].max() + 1e-2 * scale + 1e-12
-        assert mismatch <= bound, (
-            f"tracer {idx}: fused mismatch {mismatch:.3e} exceeds "
-            f"envelope {bound:.3e} (scale {scale:.3e})")
 
 
 def test_fused_step_rejects_f64():
