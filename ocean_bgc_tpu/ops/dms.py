@@ -19,6 +19,7 @@ do to it anyway.)
 
 from __future__ import annotations
 
+import math
 from typing import Dict, Tuple
 
 import jax
@@ -86,9 +87,12 @@ def dms_source_sink(
 
     total_chl = spChl + diatChl + diazChl + phaeoChl
     chl = jnp.maximum(total_chl, 0.02)
-    kpar = jnp.where(chl < 0.13224,
-                     0.000919 * chl ** 0.3536,
-                     0.001131 * chl ** 0.4562)
+    # shared-log Morel fit: 1 log + 1 exp per cell instead of 2 pows
+    # (same rewrite + range audit as ops/bgc.py::_par_field)
+    log_chl = jnp.log(chl)
+    kpar = jnp.exp(jnp.where(chl < 0.13224,
+                             math.log(0.000919) + 0.3536 * log_chl,
+                             math.log(0.001131) + 0.4562 * log_chl))
     kpar_dz = kpar * dz
     att = jnp.exp(-kpar_dz)
     cum = jnp.cumprod(att, axis=0)
