@@ -719,7 +719,8 @@ def co3_terms_dual(depth_m, temp, salt, dic_in, ta_in, pt_in, sit_in,
 def co2calc_surface_dual(depth_m, temp, salt, dic_a, dic_b, ta_in, pt_in,
                          sit_in, phlo_a, phhi_a, phlo_b, phhi_b,
                          xco2_a, xco2_b, atmpres, *,
-                         locmip_k1_k2_bug_fix=True):
+                         locmip_k1_k2_bug_fix=True, brackets_a=None,
+                         brackets_b=None):
     """The surface ambient + ALT_CO2 pair (BGC_mod.F90:2881-2912): shared
     coefficients, DIC/xCO2/bracket differing per scenario, one stacked
     solve.  Returns two (ph, co2star, dco2star, pco2surf, dpco2) tuples."""
@@ -731,10 +732,16 @@ def co2calc_surface_dual(depth_m, temp, salt, dic_a, dic_b, ta_in, pt_in,
     # one stacked solve for both scenarios (see co3_terms_dual)
     dic = jnp.stack([da, db])
     shp = da.shape
-    x1 = jnp.stack([jnp.broadcast_to(10.0 ** (-phhi_a), shp),
-                    jnp.broadcast_to(10.0 ** (-phhi_b), shp)])
-    x2 = jnp.stack([jnp.broadcast_to(10.0 ** (-phlo_a), shp),
-                    jnp.broadcast_to(10.0 ** (-phlo_b), shp)])
+    if brackets_a is not None:
+        x1 = jnp.stack([jnp.broadcast_to(brackets_a[0], shp),
+                        jnp.broadcast_to(brackets_b[0], shp)])
+        x2 = jnp.stack([jnp.broadcast_to(brackets_a[1], shp),
+                        jnp.broadcast_to(brackets_b[1], shp)])
+    else:
+        x1 = jnp.stack([jnp.broadcast_to(10.0 ** (-phhi_a), shp),
+                        jnp.broadcast_to(10.0 ** (-phhi_b), shp)])
+        x2 = jnp.stack([jnp.broadcast_to(10.0 ** (-phlo_a), shp),
+                        jnp.broadcast_to(10.0 ** (-phlo_b), shp)])
     htotal = solve_htotal(coeffs, dic, ta, pt, sit, x1, x2)
 
     xco2 = jnp.stack([jnp.broadcast_to(jnp.asarray(xco2_a, da.dtype), shp),

@@ -97,21 +97,22 @@ def bgc_surface_fluxes(
         sc_co2 = schmidt_co2(forcing.sst)
         pv_co2 = xkw_ice * jnp.sqrt(660.0 / sc_co2)
 
-        phlo = jnp.where(surface_ph != 0.0, surface_ph - DEL_PH,
-                         PHLO_SURF_INIT)
-        phhi = jnp.where(surface_ph != 0.0, surface_ph + DEL_PH,
-                         PHHI_SURF_INIT)
-        phlo_a = jnp.where(surface_ph_alt != 0.0, surface_ph_alt - DEL_PH,
-                           PHLO_SURF_INIT)
-        phhi_a = jnp.where(surface_ph_alt != 0.0, surface_ph_alt + DEL_PH,
-                           PHHI_SURF_INIT)
+        # H-space warm brackets: one 10**-ph per column per scenario
+        # instead of two (carbonate.py::warm_brackets_h; the reference
+        # window is BGC_mod.F90:2872-2878)
+        from ocean_bgc_tpu.ops.carbonate import warm_brackets_h
+        br = warm_brackets_h(surface_ph, PHLO_SURF_INIT, PHHI_SURF_INIT,
+                             DEL_PH)
+        br_alt = warm_brackets_h(surface_ph_alt, PHLO_SURF_INIT,
+                                 PHHI_SURF_INIT, DEL_PH)
         ((ph_new, co2star, dco2star, pco2surf, dpco2),
          (ph_alt_new, co2star_alt, dco2star_alt, pco2surf_alt,
           dpco2_alt)) = co2calc_surface_dual(
             forcing.surface_depth, forcing.sst, forcing.sss,
-            dic, dic_alt, alk, po4, sio3, phlo, phhi, phlo_a, phhi_a,
+            dic, dic_alt, alk, po4, sio3, None, None, None, None,
             forcing.atm_co2, forcing.atm_co2_alt, forcing.surface_pressure,
-            locmip_k1_k2_bug_fix=params.locmip_k1_k2_bug_fix)
+            locmip_k1_k2_bug_fix=params.locmip_k1_k2_bug_fix,
+            brackets_a=br, brackets_b=br_alt)
         gas = gas.at[T.DIC].set(pv_co2 * dco2star)
         gas = gas.at[T.DIC_ALT_CO2].set(pv_co2 * dco2star_alt)
 
