@@ -13,8 +13,9 @@ cumulative product over the level axis.  The whole kernel is therefore
 fully batched over (nlev, ncol) cells with no scan at all; columns ride
 the vector lanes.  (The reference also computes a UV attenuation field,
 DMS_mod.F90:531-536, but never consumes it pending its CODiM update — it
-is omitted here, which is exactly what XLA's dead-code elimination would
-do to it anyway.)
+is opt-in here via ``compute_uv=True``, because an unconsumed
+computation is exactly what XLA's dead-code elimination would drop
+anyway; opting in restores field-for-field parity.)
 """
 
 from __future__ import annotations
@@ -48,9 +49,19 @@ def dms_source_sink(
     sst: jax.Array,             # (ncol,)
     shortwave_surface: jax.Array,  # (ncol,) W/m^2
     params: DMSParams,
+    *,
+    compute_uv: bool = False,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Tendencies (nlev, DT.CNT, ncol) and the 27 diagnostics
-    (DMS_parms.F90:125-154), each a (nlev, ncol) field."""
+    (DMS_parms.F90:125-154), each a (nlev, ncol) field.
+
+    ``compute_uv``: also emit the DOC-attenuated UV field as three extra
+    diagnostics ``UV_in``/``UV_out``/``UV_avg`` (DMS_mod.F90:509-510,
+    531-536).  The reference computes this field on every call but never
+    consumes it (pending its CODiM update), so the default here is off —
+    which is exactly what XLA's dead-code elimination would do to an
+    unconsumed computation — and opting in restores full
+    field-for-field computational parity."""
 
     p = params
 
@@ -212,6 +223,17 @@ def dms_source_sink(
         "diazS": diazS, "phaeoS": phaeoS, "zooS": zooS,
         "zooCC": zooC, "RSNzoo": rs2n_zoo,
     }
+    if compute_uv:
+        # UV: 1% of surface PAR, attenuated by DOC (DMS_mod.F90:509-510,
+        # 531-536) — same closed-form exclusive cumprod as PAR above
+        kuv_dz = (0.01e-2 * doc + 0.04e-4) * dz
+        att_uv = jnp.exp(-kuv_dz)
+        cum_uv = jnp.cumprod(att_uv, axis=0)
+        uv_in = ((par_surf * 0.01)[None, :]
+                 * jnp.concatenate([ones, cum_uv[:-1]], axis=0))
+        diags["UV_in"] = uv_in
+        diags["UV_out"] = uv_in * att_uv
+        diags["UV_avg"] = uv_in * (1.0 - att_uv) / kuv_dz
     diags = {k: masked(v) for k, v in diags.items()}
 
     zero = jnp.zeros_like(tend_dms)

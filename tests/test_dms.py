@@ -92,3 +92,46 @@ def test_dms_diag_registry_complete(rng):
     from ocean_bgc_tpu.ops.dms import DMS_DIAG_NAMES
     assert set(diags) == set(DMS_DIAG_NAMES)
     assert len(DMS_DIAG_NAMES) == 27   # DMS_parms.F90:125-154
+
+
+def test_dms_uv_field_matches_sequential_recurrence(rng):
+    """Opt-in UV diagnostics (DMS_mod.F90:509-510, 531-536): surface UV
+    is 1% of surface PAR, attenuated downward by KUVdz = (0.01e-2*DOC +
+    0.04e-4)*dz.  The kernel's closed-form cumprod must match the
+    reference's sequential k-recurrence, written out independently here
+    in float64 NumPy."""
+    tracers, dz, kmax, sst, sw = _setup(rng)
+    nlev, ncol = dz.shape
+    active = np.arange(nlev)[:, None] < kmax[None, :]
+    _, diags = dms_source_sink(
+        jnp.asarray(tracers), jnp.asarray(dz), jnp.asarray(active),
+        jnp.asarray(sst), jnp.asarray(sw), DMSParams(), compute_uv=True)
+    for k in ("UV_in", "UV_out", "UV_avg"):
+        assert k in diags
+
+    from ocean_bgc_tpu.constants import F_QSW_PAR_DMS
+    clip = np.maximum(tracers, 0.0)
+    want_in = np.zeros((nlev, ncol))
+    want_out = np.zeros((nlev, ncol))
+    want_avg = np.zeros((nlev, ncol))
+    for col in range(ncol):
+        uv_out = max(0.0, sw[col]) * F_QSW_PAR_DMS * 0.01
+        for k in range(kmax[col]):
+            uv_in = uv_out
+            kuv_dz = (0.01e-2 * clip[k, DT.DOC, col] + 0.04e-4) \
+                * dz[k, col]
+            uv_out = uv_in * np.exp(-kuv_dz)
+            want_in[k, col] = uv_in
+            want_out[k, col] = uv_out
+            want_avg[k, col] = uv_in * (1.0 - np.exp(-kuv_dz)) / kuv_dz
+    np.testing.assert_allclose(np.asarray(diags["UV_in"]), want_in,
+                               rtol=1e-12, atol=0.0)
+    np.testing.assert_allclose(np.asarray(diags["UV_out"]), want_out,
+                               rtol=1e-12, atol=0.0)
+    np.testing.assert_allclose(np.asarray(diags["UV_avg"]), want_avg,
+                               rtol=1e-12, atol=0.0)
+    # default call emits exactly the 27 reference diagnostics, UV off
+    _, d0 = dms_source_sink(
+        jnp.asarray(tracers), jnp.asarray(dz), jnp.asarray(active),
+        jnp.asarray(sst), jnp.asarray(sw), DMSParams())
+    assert "UV_in" not in d0
