@@ -194,3 +194,56 @@ def test_talk_golden_bitwise():
     for i, (fn_hex, df_hex) in golden.items():
         assert float(np.asarray(fn)[i]) == float.fromhex(fn_hex), i
         assert float(np.asarray(df)[i]) == float.fromhex(df_hex), i
+
+
+def test_warm_brackets_h_contract(rng):
+    """The one-pow bracket formation (warm_brackets_h): cold lanes
+    (ph==0 sentinel) get the constant wide bracket BITWISE; warm lanes
+    match the direct 10**-(ph +/- del) form to ~1 ulp; and the solver
+    root from either bracket agrees to solver tolerance."""
+    import jax.numpy as jnp
+
+    from ocean_bgc_tpu.constants import (DEL_PH, PHHI_3D_INIT,
+                                         PHLO_3D_INIT)
+    from ocean_bgc_tpu.ops.carbonate import co3_terms, warm_brackets_h
+
+    ph = jnp.asarray(np.concatenate([
+        np.zeros(4),                       # cold sentinel lanes
+        rng.uniform(6.5, 9.0, 60),         # warm lanes
+    ]))
+    x1, x2 = warm_brackets_h(ph, PHLO_3D_INIT, PHHI_3D_INIT, DEL_PH)
+
+    # cold lanes: bitwise the constant wide bracket
+    np.testing.assert_array_equal(np.asarray(x1)[:4], 10.0 ** -9.0)
+    np.testing.assert_array_equal(np.asarray(x2)[:4], 10.0 ** -6.0)
+    # warm lanes: a few ulp of the direct two-pow form
+    direct_x1 = 10.0 ** -(np.asarray(ph)[4:] + DEL_PH)
+    direct_x2 = 10.0 ** -(np.asarray(ph)[4:] - DEL_PH)
+    np.testing.assert_allclose(np.asarray(x1)[4:], direct_x1, rtol=4e-15)
+    np.testing.assert_allclose(np.asarray(x2)[4:], direct_x2, rtol=4e-15)
+    # brackets still bracket: x1 < x2 and both positive
+    assert (np.asarray(x1) < np.asarray(x2)).all()
+    assert (np.asarray(x1) > 0).all()
+
+    # end-to-end: a solve seeded by either bracket form lands on the
+    # same root to solver tolerance
+    n = 32
+    depth = jnp.zeros(n)
+    temp = jnp.asarray(rng.uniform(-1, 30, n))
+    salt = jnp.asarray(rng.uniform(31, 38, n))
+    dic = jnp.asarray(rng.uniform(1850, 2350, n))
+    alk = jnp.asarray(rng.uniform(2100, 2500, n))
+    po4 = jnp.asarray(rng.uniform(0, 3, n))
+    sio3 = jnp.asarray(rng.uniform(0, 120, n))
+    ph_prev = jnp.asarray(rng.uniform(7.4, 8.6, n))
+    ph_a, *_ = co3_terms(depth, temp, salt, dic, alk, po4, sio3,
+                         ph_prev - DEL_PH, ph_prev + DEL_PH, False)
+    # reproduce via the one-pow path: feed the H-space bracket through
+    # co3_terms_dual's brackets kwarg
+    from ocean_bgc_tpu.ops.carbonate import co3_terms_dual
+    br = warm_brackets_h(ph_prev, PHLO_3D_INIT, PHHI_3D_INIT, DEL_PH)
+    (ph_b, *_), _ = co3_terms_dual(depth, temp, salt, dic, alk, po4,
+                                   sio3, None, None, None, None, False,
+                                   brackets_a=br, brackets_b=br)
+    np.testing.assert_allclose(np.asarray(ph_b), np.asarray(ph_a),
+                               rtol=0, atol=5e-10)
