@@ -1,0 +1,77 @@
+"""Run the full test suite in several short-lived pytest processes.
+
+Why: this image's XLA:CPU backend ships AOT kernels compiled for a
+different host (the cpu_aot_loader feature-mismatch warnings at import,
+"could lead to execution errors such as SIGILL"), and long-lived suite
+processes nondeterministically segfault inside LLVM during a LATE
+`backend_compile_and_load` — the same crash class that forced
+tests/test_pallas_step.py into a fresh interpreter (commit e3ce765) and
+that killed a round-4 full-suite run inside test_run_model_cli.py
+(green standalone).  Nothing in the repo controls the image's jax
+wheels, so the suite-level mitigation is structural: bound every pytest
+process's lifetime by splitting the files into chunks, each run in its
+own interpreter.  A crashed chunk reports its files so the flake is
+attributable.
+
+Usage:
+    python scripts/run_suite.py [--chunks N] [-- extra pytest args]
+
+Exit code 0 iff every chunk passes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunks", type=int, default=6,
+                    help="number of sequential pytest processes")
+    ap.add_argument("rest", nargs="*",
+                    help="extra pytest args after --")
+    args = ap.parse_args()
+
+    files = sorted(glob.glob(os.path.join(REPO, "tests", "test_*.py")))
+    # test_pallas_step.py is excluded from direct collection by conftest
+    # (its _isolated delegator runs it); keep the exclusion here too
+    files = [f for f in files if not f.endswith("test_pallas_step.py")]
+
+    # balance by file size (a cheap proxy for compile-heaviness),
+    # round-robin over size-sorted files
+    by_size = sorted(files, key=os.path.getsize, reverse=True)
+    chunks = [[] for _ in range(max(1, args.chunks))]
+    for i, f in enumerate(by_size):
+        chunks[i % len(chunks)].append(f)
+
+    failures = []
+    t0 = time.monotonic()
+    for i, chunk in enumerate(c for c in chunks if c):
+        names = [os.path.basename(f) for f in chunk]
+        print(f"[chunk {i}] {' '.join(names)}", flush=True)
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", *args.rest, *chunk],
+            cwd=REPO)
+        if r.returncode != 0:
+            failures.append((i, names, r.returncode))
+        print(f"[chunk {i}] rc={r.returncode} "
+              f"(elapsed {time.monotonic() - t0:.0f}s)", flush=True)
+
+    if failures:
+        print("FAILED chunks:")
+        for i, names, rc in failures:
+            print(f"  chunk {i} rc={rc}: {' '.join(names)}")
+        return 1
+    print(f"all chunks green in {time.monotonic() - t0:.0f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
