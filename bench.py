@@ -50,7 +50,7 @@ def _budget_left():
 
 def _throughput(device, ncol, nlev, nsteps, repeats, compute_diags,
                 dtype=None, carbonate_impl="xla", diag_dtype=None,
-                interior_impl="auto", use_env=True):
+                interior_impl="auto", use_env=True, diag_filter=None):
     from ocean_bgc_tpu.models.coupled import step
     from ocean_bgc_tpu.params import ModelParams
     from ocean_bgc_tpu.utils.synthetic import synthetic_world
@@ -83,7 +83,8 @@ def _throughput(device, ncol, nlev, nsteps, repeats, compute_diags,
                        compute_diags=compute_diags,
                        carbonate_impl=carbonate_impl,
                        interior_impl=interior_impl,
-                       diag_dtype=diag_dtype, env=env),
+                       diag_dtype=diag_dtype, env=env,
+                       diag_filter=diag_filter),
         donate_argnums=0)
     out, diags = fn(state)               # compile + warm up
     jax.block_until_ready(out)
@@ -340,9 +341,14 @@ def main():
     ddt = (jnp.float32 if os.environ.get("BENCH_DIAG_DTYPE") == "f32"
            else None)
     use_env = os.environ.get("BENCH_ENV", "1") == "1"
+    # BENCH_DIAG_FILTER="pco2surf,NITRIF,..." measures the selective-
+    # diagnostics production configuration (unlisted diagnostics are
+    # dead-code-eliminated; models/coupled.py::evaluate_tendencies)
+    dfilter = (tuple(os.environ["BENCH_DIAG_FILTER"].split(","))
+               if os.environ.get("BENCH_DIAG_FILTER") else None)
     value = _throughput(device, ncol, nlev, nsteps, repeats, diags,
                         dtype=dtype, carbonate_impl=carb, diag_dtype=ddt,
-                        use_env=use_env)
+                        use_env=use_env, diag_filter=dfilter)
 
     # the flagship quad: every (env, diags) combination from the SAME
     # run, so the artifact carries its own semantics — env=on assumes
@@ -401,6 +407,7 @@ def main():
     out = {
         "metric": f"columns_per_s_per_chip_full_coupled_step_{prec}"
                   + ("_with_diags" if diags else "")
+                  + (f"_diagfilter{len(dfilter)}" if dfilter else "")
                   + (f"_carb_{carb}" if carb != "auto" else "")
                   + ("_f32diags" if ddt is not None else ""),
         "value": round(value, 2),

@@ -135,9 +135,20 @@ def evaluate_tendencies(
     diag_dtype=None,
     env: EnvCache = None,
     health: bool = False,
+    diag_filter=None,
 ) -> Tuple[CoupledTendencies, Dict[str, jax.Array]]:
     """The coupled model's right-hand side: surface fluxes + all three
     source-sink kernels, as d(state)/dt pytrees.
+
+    ``diag_filter``: optional sequence of diagnostic names — the
+    returned dict carries exactly these (unknown names raise KeyError
+    with the valid set).  A TPU-first refinement of the reference's
+    always-compute-everything diagnostics (SURVEY.md par.5): because
+    only the RETURNED arrays survive XLA dead-code elimination, a
+    production host that consumes a handful of history fields pays HBM
+    writes (and any diag-only arithmetic) for just those, recovering
+    most of the diags-off throughput.  Values are bitwise identical to
+    the unfiltered run's.
 
     ``health``: add two psum-able scalar counters to the returned
     diagnostics dict — ``health_solver_nonconverged_cells`` and
@@ -225,6 +236,13 @@ def evaluate_tendencies(
         diags.update(sflux.diags)
         diags.update(dflux.diags)
         diags["netFlux"] = sflux.net_flux
+        if diag_filter is not None:
+            unknown = set(diag_filter) - set(diags)
+            if unknown:
+                raise KeyError(
+                    f"unknown diagnostics {sorted(unknown)}; valid "
+                    f"names: {sorted(diags)}")
+            diags = {k: diags[k] for k in diag_filter}
         if diag_dtype is not None:
             diags = {k: v.astype(diag_dtype) for k, v in diags.items()}
     if health and bgc_out.health is not None:
@@ -268,6 +286,7 @@ def step(
     diag_dtype=None,
     env: EnvCache = None,
     health: bool = False,
+    diag_filter=None,
 ) -> Tuple[CoupledState, Dict[str, jax.Array]]:
     """One coupled forward-Euler timestep (the host models' standard
     coupling scheme). Returns (state', diagnostics).
@@ -279,13 +298,19 @@ def step(
 
     ``health``: emit the two production health counters into the
     returned diagnostics even when ``compute_diags=False`` (see
-    :func:`evaluate_tendencies`)."""
+    :func:`evaluate_tendencies`).
+
+    ``diag_filter``: emit exactly these diagnostic names (see
+    :func:`evaluate_tendencies` — unconsumed diagnostics are
+    dead-code-eliminated, recovering most of the diags-off
+    throughput)."""
     tend, diags = evaluate_tendencies(state, grid, forcing, params,
                                       compute_diags=compute_diags,
                                       carbonate_impl=carbonate_impl,
                                       interior_impl=interior_impl,
                                       diag_dtype=diag_dtype, env=env,
-                                      health=health)
+                                      health=health,
+                                      diag_filter=diag_filter)
     return apply_update(state, tend, dt), diags
 
 

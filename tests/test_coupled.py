@@ -155,3 +155,33 @@ def test_coupled_carbon_and_silicon_mass_balance():
 
     budget(c_idx, "Jint_Ctot", ("pocToSed", "calcToSed"))
     budget(si_idx, "Jint_Sitot", ("bsiToSed",))
+
+
+def test_diag_filter_subset_bitwise(rng):
+    """step(diag_filter=...) returns exactly the requested diagnostics,
+    bitwise-equal to the unfiltered run's (the filter only prunes what
+    XLA materializes, never changes arithmetic); unknown names raise."""
+    import pytest
+
+    from ocean_bgc_tpu.utils.synthetic import synthetic_world
+
+    state, grid, forcing = synthetic_world(nlev=6, ncol=12, seed=9,
+                                           ragged=True)
+    params = ModelParams()
+    want_state, full = step(state, grid, forcing, params, 3600.0,
+                            compute_diags=True)
+    keep = ("pco2surf", "NITRIF", "POC_FLUX_IN", "photoC_TOT_zint",
+            "DMS_S_TOTAL", "MACROS_PROT_S_TOTAL", "netFlux")
+    got_state, got = step(state, grid, forcing, params, 3600.0,
+                          compute_diags=True, diag_filter=keep)
+    assert set(got) == set(keep)
+    for k in keep:
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(full[k]), err_msg=k)
+    # the state update is untouched by the filter
+    for a, b in zip(jax.tree.leaves(want_state),
+                    jax.tree.leaves(got_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(KeyError, match="unknown diagnostics"):
+        step(state, grid, forcing, params, 3600.0, compute_diags=True,
+             diag_filter=("not_a_diag",))
