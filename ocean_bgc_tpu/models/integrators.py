@@ -41,7 +41,8 @@ def _with_ph(state: CoupledState, tend) -> CoupledState:
 
 def step_rk2(state: CoupledState, grid: ColumnGrid, forcing: BGCForcing,
              params: ModelParams, dt: float, *,
-             compute_diags: bool = True, env=None, health: bool = False
+             compute_diags: bool = True, env=None, health: bool = False,
+             diag_filter=None
              ) -> Tuple[CoupledState, Dict[str, jax.Array]]:
     """Heun's method (RK2): y' = y + dt/2 (k1 + k2).
 
@@ -51,7 +52,8 @@ def step_rk2(state: CoupledState, grid: ColumnGrid, forcing: BGCForcing,
     (diagnostic-emitting) stage."""
     k1, diags = evaluate_tendencies(state, grid, forcing, params,
                                     compute_diags=compute_diags,
-                                    env=env, health=health)
+                                    env=env, health=health,
+                                    diag_filter=diag_filter)
     mid = apply_update(state, k1, dt)
     k2, _ = evaluate_tendencies(mid, grid, forcing, params,
                                 compute_diags=False, env=env)
@@ -65,12 +67,14 @@ def step_rk2(state: CoupledState, grid: ColumnGrid, forcing: BGCForcing,
 
 def step_rk4(state: CoupledState, grid: ColumnGrid, forcing: BGCForcing,
              params: ModelParams, dt: float, *,
-             compute_diags: bool = True, env=None, health: bool = False
+             compute_diags: bool = True, env=None, health: bool = False,
+             diag_filter=None
              ) -> Tuple[CoupledState, Dict[str, jax.Array]]:
     """Classic RK4."""
     k1, diags = evaluate_tendencies(state, grid, forcing, params,
                                     compute_diags=compute_diags,
-                                    env=env, health=health)
+                                    env=env, health=health,
+                                    diag_filter=diag_filter)
     s2 = apply_update(state, k1, dt / 2.0)
     k2, _ = evaluate_tendencies(s2, grid, forcing, params,
                                 compute_diags=False, env=env)

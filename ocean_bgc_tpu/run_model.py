@@ -45,6 +45,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="steps between checkpoints (0 = only final)")
     p.add_argument("--history-every", type=int, default=0,
                    help="steps between history writes (0 = none)")
+    p.add_argument("--history-fields",
+                   help="comma-separated diagnostic names to emit "
+                        "(default: all ~150; unlisted fields are "
+                        "dead-code-eliminated from the compiled step — "
+                        "the selective-diagnostics production "
+                        "configuration, +18.5%% measured)")
     p.add_argument("--fp32", action="store_true",
                    help="opt-in single-precision fast path")
     p.add_argument("--world",
@@ -143,11 +149,14 @@ def main(argv=None) -> int:
     use_env = not args.no_env_cache
     from ocean_bgc_tpu.ops.bgc import precompute_env
 
+    dfilter = (tuple(x for x in args.history_fields.split(",") if x)
+               if args.history_fields else None)
+
     @jax.jit
     def advance(s, f, env):
         return step_impl(s, grid, f, params, args.dt,
                          compute_diags=want_diags, env=env,
-                         health=args.health)
+                         health=args.health, diag_filter=dfilter)
 
     os.makedirs(args.out, exist_ok=True)
     tavg = None

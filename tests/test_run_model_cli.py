@@ -73,3 +73,20 @@ def test_cli_forcing_series_linear(tmp_path, capsys):
         "--forcing-series", path, "--interp", "linear",
         "--out", str(tmp_path / "run")])
     assert summary["finite"]
+
+
+def test_cli_history_fields_filter(tmp_path, capsys):
+    """--history-fields writes history containing exactly the requested
+    diagnostics (the selective-diagnostics production configuration)."""
+    summary = _run(capsys, [
+        "--steps", "4", "--nlev", "4", "--ncol", "6", "--quiet",
+        "--history-every", "2", "--out", str(tmp_path),
+        "--history-fields", "pco2surf,NITRIF,Jint_Ctot"])
+    assert summary["steps"] == 4
+    hists = sorted(tmp_path.glob("hist_*.npz"))
+    assert hists, list(tmp_path.iterdir())
+    import numpy as np
+    with np.load(hists[-1]) as f:
+        fields = {k for k in f.files
+                  if not k.startswith("__") and k != "count"}
+    assert fields == {"pco2surf", "NITRIF", "Jint_Ctot"}, fields
