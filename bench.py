@@ -343,9 +343,14 @@ def main():
     use_env = os.environ.get("BENCH_ENV", "1") == "1"
     # BENCH_DIAG_FILTER="pco2surf,NITRIF,..." measures the selective-
     # diagnostics production configuration (unlisted diagnostics are
-    # dead-code-eliminated; models/coupled.py::evaluate_tendencies)
-    dfilter = (tuple(os.environ["BENCH_DIAG_FILTER"].split(","))
+    # dead-code-eliminated; models/coupled.py::evaluate_tendencies).
+    # Requires BENCH_DIAGS=1 — a filter on a diags-off run would
+    # silently measure the wrong configuration under a selective label.
+    dfilter = (tuple(x for x in
+                     os.environ["BENCH_DIAG_FILTER"].split(",") if x)
                if os.environ.get("BENCH_DIAG_FILTER") else None)
+    if dfilter and not diags:
+        raise SystemExit("BENCH_DIAG_FILTER requires BENCH_DIAGS=1")
     value = _throughput(device, ncol, nlev, nsteps, repeats, diags,
                         dtype=dtype, carbonate_impl=carb, diag_dtype=ddt,
                         use_env=use_env, diag_filter=dfilter)
@@ -394,7 +399,8 @@ def main():
         cpu = jax.devices("cpu")[0]
         cpu_ncol = min(ncol, 512)
         cpu_value = _throughput(cpu, cpu_ncol, nlev, max(2, nsteps // 5),
-                                1, diags, dtype=dtype, use_env=use_env)
+                                1, diags, dtype=dtype, use_env=use_env,
+                                diag_filter=dfilter)
         vs_baseline = value / cpu_value
     except Exception:
         vs_baseline = value / cpu_pin

@@ -236,19 +236,36 @@ def evaluate_tendencies(
         diags.update(sflux.diags)
         diags.update(dflux.diags)
         diags["netFlux"] = sflux.net_flux
-        if diag_filter is not None:
-            unknown = set(diag_filter) - set(diags)
-            if unknown:
-                raise KeyError(
-                    f"unknown diagnostics {sorted(unknown)}; valid "
-                    f"names: {sorted(diags)}")
-            diags = {k: diags[k] for k in diag_filter}
         if diag_dtype is not None:
             diags = {k: v.astype(diag_dtype) for k, v in diags.items()}
     if health and bgc_out.health is not None:
         diags["health_solver_nonconverged_cells"] = (
             bgc_out.health.solver_nonconverged_cells)
         diags["health_poc_error_cells"] = bgc_out.health.poc_error_cells
+    if diag_filter is not None:
+        # a filter with nothing to filter is a caller bug, not a no-op —
+        # silently measuring/writing the diags-off configuration under a
+        # selective-diagnostics label is exactly the mislabeled-artifact
+        # failure mode this feature must not reintroduce
+        if not compute_diags:
+            raise ValueError(
+                "diag_filter requires compute_diags=True (with "
+                "compute_diags=False there are no diagnostics to "
+                "select; health counters are emitted regardless)")
+        unknown = set(diag_filter) - set(diags)
+        if unknown:
+            raise KeyError(
+                f"unknown diagnostics {sorted(unknown)}; valid "
+                f"names: {sorted(diags)}")
+        keep = set(diag_filter)
+        if health:
+            # the health counters are monitoring, not history: they are
+            # two scalars, promised even in diags-off runs, and callers
+            # (run_model --health) read them every step — they always
+            # survive the filter (listing them explicitly is a no-op)
+            keep |= {"health_solver_nonconverged_cells",
+                     "health_poc_error_cells"}
+        diags = {k: v for k, v in diags.items() if k in keep}
     return tend, diags
 
 

@@ -50,7 +50,6 @@ truth for every formula; only the scheduling differs.
 from __future__ import annotations
 
 import dataclasses
-import math
 import os
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
@@ -77,7 +76,7 @@ from ocean_bgc_tpu.ops.particulates import (
     particulate_level_update,
     precompute_dissolution,
 )
-from ocean_bgc_tpu.ops.numerics import safe_div
+from ocean_bgc_tpu.ops.numerics import morel_kpar, safe_div
 from ocean_bgc_tpu.ops.schmidt import o2sat
 from ocean_bgc_tpu.params import BGCParams
 from ocean_bgc_tpu.state import BGCForcing, BGCTracers as T, ColumnGrid
@@ -141,12 +140,6 @@ def resolve_carbonate_impl(impl: str, dtype) -> str:
 _safe_div = safe_div
 
 
-# Morel-fit prefactors as log-space constants (folded at trace time;
-# math.log is exact-input double precision, not a traced op)
-_LOG_KPAR_A1 = math.log(0.000919)
-_LOG_KPAR_A2 = math.log(0.001131)
-
-
 def _par_field(par_surf_row, total_chl, dz, active):
     """PAR at the top/average/absorption of every cell, in one shot.
 
@@ -162,21 +155,10 @@ def _par_field(par_surf_row, total_chl, dz, active):
     ``par_surf_row`` is (1, ncol) (broadcasts against (nlev, ncol)).
     """
     chl = jnp.maximum(total_chl, 0.02)
-    # two-band Morel fit (BGC_mod.F90:907-924): a1*chl**p1 / a2*chl**p2.
-    # Each pow lowers to exp(p*log(chl)) — under f64 emulation both
-    # branches' transcendentals are evaluated for every cell.  Sharing
-    # log(chl) and folding the branch constants into the exponent gives
-    # ONE log + ONE exp per cell (the exponent select is free):
-    #   a*chl**p = exp(log(a) + p*log(chl)),
-    # equal to the pow form to ~1 ulp (qualified by the oracle suite's
-    # PAR-path envelope and the trajectory gates).  Range audit: chl in
-    # [0.02, ~100] -> log in [-3.9, 4.6]; the folded exponent stays in
-    # [-8.4, -4.6] -> kpar in [2e-4, 1e-2] 1/cm; derivative
-    # d kpar/d chl = p*kpar/chl is in range for chl >= 0.02.
-    log_chl = jnp.log(chl)
-    kpar = jnp.exp(jnp.where(chl < 0.13224,
-                             _LOG_KPAR_A1 + 0.3536 * log_chl,
-                             _LOG_KPAR_A2 + 0.4562 * log_chl))
+    # two-band Morel fit (BGC_mod.F90:907-924) via the shared-log
+    # rewrite + range audit in ops/numerics.py::morel_kpar (one helper
+    # for the BGC and DMS kernels, which state the identical fit)
+    kpar = morel_kpar(chl)
     kpar_dz = kpar * dz
     att = jnp.exp(-kpar_dz)
     # inactive cells pass PAR through unchanged (the scan carry freeze)

@@ -20,14 +20,13 @@ anyway; opting in restores field-for-field parity.)
 
 from __future__ import annotations
 
-import math
 from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ocean_bgc_tpu.constants import EPSC, F_QSW_PAR_DMS
-from ocean_bgc_tpu.ops.numerics import safe_div
+from ocean_bgc_tpu.ops.numerics import morel_kpar, safe_div
 from ocean_bgc_tpu.params import DMSParams
 from ocean_bgc_tpu.state import DMSTracers as DT
 
@@ -98,12 +97,9 @@ def dms_source_sink(
 
     total_chl = spChl + diatChl + diazChl + phaeoChl
     chl = jnp.maximum(total_chl, 0.02)
-    # shared-log Morel fit: 1 log + 1 exp per cell instead of 2 pows
-    # (same rewrite + range audit as ops/bgc.py::_par_field)
-    log_chl = jnp.log(chl)
-    kpar = jnp.exp(jnp.where(chl < 0.13224,
-                             math.log(0.000919) + 0.3536 * log_chl,
-                             math.log(0.001131) + 0.4562 * log_chl))
+    # two-band Morel fit (DMS_mod.F90:538-551) via the shared helper
+    # (ops/numerics.py::morel_kpar: shared-log rewrite + range audit)
+    kpar = morel_kpar(chl)
     kpar_dz = kpar * dz
     att = jnp.exp(-kpar_dz)
     cum = jnp.cumprod(att, axis=0)

@@ -16,8 +16,38 @@ den==0 guard.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
+
+# two-band Morel (2001) chlorophyll attenuation fit, shared by the BGC
+# and DMS PAR fields (BGC_mod.F90:907-924, DMS_mod.F90:538-551 — the
+# reference states the identical fit in both kernels).  Prefactors as
+# log-space trace-time constants for the shared-log rewrite below.
+_MOREL_BREAK = 0.13224
+_LOG_MOREL_A1 = math.log(0.000919)
+_LOG_MOREL_A2 = math.log(0.001131)
+_MOREL_P1 = 0.3536
+_MOREL_P2 = 0.4562
+
+
+def morel_kpar(chl):
+    """PAR attenuation coefficient (1/cm) from total chlorophyll.
+
+    Evaluated as ``exp(log(a) + p*log(chl))`` with one shared log —
+    1 log + 1 exp per cell instead of the fit's two pows (the f64 win
+    is op-count only, but at f32 transcendentals are hardware
+    special-function work).  Equal to the pow form to ~1 ulp; qualified
+    by the oracle suites' PAR-path envelopes and the trajectory gates.
+    Range audit: callers floor chl at 0.02 -> log in [-3.9, ~4.6]; the
+    folded exponent stays in [-8.4, -4.6]; d kpar/d chl = p*kpar/chl is
+    in range for chl >= 0.02.
+    """
+    log_chl = jnp.log(chl)
+    return jnp.exp(jnp.where(chl < _MOREL_BREAK,
+                             _LOG_MOREL_A1 + _MOREL_P1 * log_chl,
+                             _LOG_MOREL_A2 + _MOREL_P2 * log_chl))
 
 
 @jax.custom_jvp

@@ -151,6 +151,10 @@ def main(argv=None) -> int:
 
     dfilter = (tuple(x for x in args.history_fields.split(",") if x)
                if args.history_fields else None)
+    if dfilter and not want_diags:
+        raise SystemExit("--history-fields requires --history-every N "
+                         "(without history output there are no "
+                         "diagnostics to select)")
 
     @jax.jit
     def advance(s, f, env):
@@ -223,8 +227,11 @@ def main(argv=None) -> int:
                    attrs={"step": np.int32(start_step + args.steps)})
         if not args.quiet:
             print(f"world -> {args.save_world}")
+    # the summary needs only the conservation residual — filter so the
+    # extra evaluation doesn't pay for all ~155 diagnostics
     _, final_diags = step(state, grid, forcing_now, params, args.dt,
-                          compute_diags=True)
+                          compute_diags=True,
+                          diag_filter=("Jint_Ctot",))
     jint = float(np.abs(np.asarray(final_diags["Jint_Ctot"])).max())
     summary = {
         "steps": args.steps,

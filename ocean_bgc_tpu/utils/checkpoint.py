@@ -145,9 +145,12 @@ def restore(path: str, *, use_orbax: Optional[bool] = None, mesh=None):
             flat = ckptr.restore(path)
         else:
             meta = ckptr.metadata(path)
-            # orbax >=0.11 wraps the per-leaf ArrayMetadata tree
-            tree_meta = getattr(getattr(meta, "item_metadata", meta),
-                                "tree", meta)
+            # orbax >=0.11 wraps the per-leaf ArrayMetadata tree as
+            # StepMetadata.item_metadata.tree; fall back level by level
+            # (each getattr defaults to ITS OWN input, so a version
+            # whose item_metadata is already the raw dict still works)
+            inner = getattr(meta, "item_metadata", meta)
+            tree_meta = getattr(inner, "tree", inner)
             abstract = {
                 k: jax.ShapeDtypeStruct(
                     tuple(m.shape), m.dtype,

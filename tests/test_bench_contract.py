@@ -20,8 +20,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run_bench(extra_env):
-    env = dict(os.environ,
-               BENCH_PLATFORM="cpu", BENCH_NCOL="32", BENCH_NLEV="4",
+    # strip ambient BENCH_* vars (a shell with BENCH_QUAD=1 etc. left
+    # over from a benchmarking session must not flip these assertions)
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith("BENCH_")}
+    env.update(BENCH_PLATFORM="cpu", BENCH_NCOL="32", BENCH_NLEV="4",
                BENCH_STEPS="2", BENCH_REPEATS="1", **extra_env)
     env.pop("XLA_FLAGS", None)
     r = subprocess.run(

@@ -185,3 +185,30 @@ def test_diag_filter_subset_bitwise(rng):
     with pytest.raises(KeyError, match="unknown diagnostics"):
         step(state, grid, forcing, params, 3600.0, compute_diags=True,
              diag_filter=("not_a_diag",))
+
+
+def test_diag_filter_guard_rails(rng):
+    """diag_filter without compute_diags raises (a silent no-op would
+    mislabel a diags-off measurement as selective-diagnostics); health
+    counters always survive the filter (run_model --health reads them
+    every step)."""
+    import pytest
+
+    from ocean_bgc_tpu.utils.synthetic import synthetic_world
+
+    state, grid, forcing = synthetic_world(nlev=4, ncol=8, seed=5)
+    params = ModelParams()
+    with pytest.raises(ValueError, match="compute_diags"):
+        step(state, grid, forcing, params, 3600.0, compute_diags=False,
+             diag_filter=("pco2surf",))
+    _, d = step(state, grid, forcing, params, 3600.0,
+                compute_diags=True, health=True,
+                diag_filter=("pco2surf",))
+    assert set(d) == {"pco2surf", "health_solver_nonconverged_cells",
+                      "health_poc_error_cells"}
+    # health names are also listable explicitly (no-op)
+    _, d2 = step(state, grid, forcing, params, 3600.0,
+                 compute_diags=True, health=True,
+                 diag_filter=("pco2surf",
+                              "health_poc_error_cells"))
+    assert set(d2) == set(d)
