@@ -75,3 +75,30 @@ def test_diags_step_has_exactly_the_psums():
     others = {k: v for k, v in hlo.items() if k != "all-reduce"}
     assert not any(others.values()), others
     assert hlo["all-reduce"] >= 1
+
+
+def test_sharded_forced_run_has_zero_collectives():
+    """The time-varying-forcing production path (make_sharded_forced_run:
+    in-scan climatology interpolation + per-record env cache) must also
+    compile to zero collectives — the forcing series shards like a
+    snapshot and every record-boundary refresh happens on-chip."""
+    from ocean_bgc_tpu.models.forcing_series import stack_forcings
+    from ocean_bgc_tpu.parallel.sharding import (make_sharded_forced_run,
+                                                 col_sharding_tree)
+    import jax
+
+    mesh = make_mesh()
+    worlds = [synthetic_world(nlev=6, ncol=64, seed=50 + r,
+                              ragged=False) for r in range(3)]
+    state, grid, _ = worlds[0]
+    series = stack_forcings([w[2] for w in worlds])
+    put = lambda t: jax.device_put(t, col_sharding_tree(t, mesh))  # noqa: E731
+    state, grid, series = put(state), put(grid), put(series)
+    fn = make_sharded_forced_run(mesh, ModelParams(), 3600.0, nsteps=4,
+                                 record_dt=7200.0, interp="hold",
+                                 env_mode="hold")
+    lowered = fn.lower(state, grid, series)
+    stable = _count(lowered.as_text(), _STABLEHLO_COLLECTIVES)
+    assert not any(stable.values()), stable
+    hlo = _count(lowered.compile().as_text(), _HLO_COLLECTIVES)
+    assert not any(hlo.values()), hlo
