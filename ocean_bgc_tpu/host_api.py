@@ -159,10 +159,25 @@ def _grid_from_host(cell_center_depth, cell_thickness, cell_bottom_depth,
     )
 
 
-@partial(jax.jit, static_argnames=("params",))
-def _bgc_ss_jit(tracers, grid, forcing, ph_prev, ph_prev_alt, params):
-    return bgc_source_sink(tracers, grid, forcing, ph_prev, ph_prev_alt,
-                           params, compute_diags=True)
+@partial(jax.jit, static_argnames=("params", "diag_names"))
+def _bgc_ss_jit(tracers, grid, forcing, ph_prev, ph_prev_alt, params,
+                diag_names=None):
+    out = bgc_source_sink(tracers, grid, forcing, ph_prev, ph_prev_alt,
+                          params, compute_diags=True)
+    if diag_names is not None:
+        # selecting inside the jit lets XLA dead-code-eliminate the
+        # unrequested diagnostics' computation and HBM writes (the
+        # selective-diagnostics production configuration; see
+        # models/coupled.py::evaluate_tendencies)
+        unknown = set(diag_names) - set(out.diags)
+        if unknown:
+            raise KeyError(
+                f"unknown diagnostics {sorted(unknown)}; valid names: "
+                f"{sorted(out.diags)}")
+        import dataclasses as _dc
+        out = _dc.replace(
+            out, diags={k: out.diags[k] for k in diag_names})
+    return out
 
 
 def BGC_SourceSink(
@@ -186,6 +201,7 @@ def BGC_SourceSink(
     PH_PREV_ALT_CO2_3D: Optional[np.ndarray] = None,
     params: Optional[BGCParams] = None,
     indices: Optional[Dict[str, int]] = None,
+    diag_names: Optional[Tuple[str, ...]] = None,
 ) -> Dict[str, np.ndarray]:
     """Ecosystem tendencies (BGC_SourceSink, BGC_mod.F90:340-1998).
 
@@ -193,6 +209,12 @@ def BGC_SourceSink(
     "PH_PREV_ALT_CO2_3D": ..., "diags": {...}} in host layout.
     ``indices``: optional host tracer-order map (see module docstring);
     tendencies come back in the host's order.
+    ``diag_names``: optionally emit only these diagnostics — the rest
+    are dead-code-eliminated from the compiled kernel (the reference
+    always computes all ~95, but its host writes only what it asked
+    for; +18.5%% measured at production scale, docs/BENCHMARKS.md).
+    Returned values agree with the full run to refusion ulps (pruning
+    outputs changes XLA's fusion choices).
     """
     params = params or BGCParams()
     perm, inv = _ingest_perm(indices, BGC_TRACER_NAMES)
@@ -236,7 +258,9 @@ def BGC_SourceSink(
     ph_alt = (jnp.asarray(hl.to_level_major(PH_PREV_ALT_CO2_3D))
               if PH_PREV_ALT_CO2_3D is not None else z2())
 
-    out = _bgc_ss_jit(tr, grid, forcing, ph, ph_alt, params)
+    out = _bgc_ss_jit(tr, grid, forcing, ph, ph_alt, params,
+                      diag_names=(tuple(diag_names)
+                                  if diag_names is not None else None))
     tend = hl.unpack_tracer_block(np.asarray(out.tendencies))
     if inv is not None:
         tend = np.ascontiguousarray(tend[..., inv])

@@ -147,8 +147,10 @@ def evaluate_tendencies(
     only the RETURNED arrays survive XLA dead-code elimination, a
     production host that consumes a handful of history fields pays HBM
     writes (and any diag-only arithmetic) for just those, recovering
-    most of the diags-off throughput.  Values are bitwise identical to
-    the unfiltered run's.
+    most of the diags-off throughput.  Values agree with the
+    unfiltered run's to refusion ulps (pruning outputs can change
+    XLA's fusion choices; bitwise in the pinned CPU configuration,
+    tests/test_coupled.py).
 
     ``health``: add two psum-able scalar counters to the returned
     diagnostics dict — ``health_solver_nonconverged_cells`` and

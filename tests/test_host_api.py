@@ -216,3 +216,32 @@ def test_host_tracer_index_map_validated():
     bad["PO4"] = bad["NO3"]
     with pytest.raises(ValueError, match="permutation"):
         host_api.tracer_permutation(bad, BGC_TRACER_NAMES)
+
+
+def test_bgc_source_sink_diag_names(rng):
+    """diag_names emits exactly the requested diagnostics, values equal
+    to the full run's to refusion ulps (pruning outputs changes XLA's
+    fusion choices, so exact bitwise equality is not guaranteed)."""
+    w = _host_world(rng)
+    ncol, nlev = w["dz"].shape
+    common = dict(
+        BGC_tracers=w["trc"],
+        PotentialTemperature=rng.uniform(-1, 30, (ncol, nlev)),
+        Salinity=rng.uniform(32, 36, (ncol, nlev)),
+        cell_center_depth=w["zcen"], cell_thickness=w["dz"],
+        cell_bottom_depth=w["zbot"],
+        cell_latitude=rng.uniform(-70, 70, ncol),
+        number_of_active_levels=w["kmax"],
+        dust_FLUX_IN=rng.uniform(0, 1e-9, ncol),
+        ShortWaveFlux_surface=rng.uniform(0, 300, ncol),
+    )
+    full = host_api.BGC_SourceSink(**common)
+    got = host_api.BGC_SourceSink(diag_names=("NITRIF", "POC_FLUX_IN"),
+                                  **common)
+    assert set(got["diags"]) == {"NITRIF", "POC_FLUX_IN"}
+    for k in got["diags"]:
+        np.testing.assert_allclose(got["diags"][k], full["diags"][k],
+                                   rtol=1e-12, atol=1e-20)
+    np.testing.assert_allclose(got["BGC_tendencies"],
+                               full["BGC_tendencies"],
+                               rtol=1e-12, atol=1e-20)
