@@ -487,3 +487,15 @@ def test_grazing_loss_routing_closures():
                            * qp_zoo)
             dop_prod = dop_prod + (1 - labile) * remaining_p
     np.testing.assert_allclose(d["DOP_prod"][0], dop_prod, rtol=1e-13)
+    # 7) nitrogen and iron DOM production track the carbon routing with
+    #    fixed stoichiometry (BGC_mod.F90:1422 DON_prod = Q*DOC_prod
+    #    with Q = 0.137, BGC_parms.F90:421; :1431-1434 DOFe_prod =
+    #    Qfe_zoo*zoo_loss_doc + sum Qfe_g*(loss_doc_g + graze_doc_g),
+    #    Qfe_zoo = 3.0e-6 :423, Qfe_g the dynamic quota
+    #    autotrophFe/(autotrophC + epsC) :852 = 4e-6/(1 + 1e-8) here)
+    np.testing.assert_allclose(d["DON_prod"][0],
+                               0.137 * d["DOC_prod"][0], rtol=1e-14)
+    qfe_g = 4e-6 / (1.0 + 1.0e-8)
+    dofe_prod = (3.0e-6 * zoo_loss_doc
+                 + qfe_g * (loss_doc + graze_doc).sum(0))
+    np.testing.assert_allclose(d["DOFe_prod"][0], dofe_prod, rtol=1e-13)
