@@ -74,7 +74,7 @@ HEALTH_DIAGS = ("health_solver_nonconverged_cells",
 def make_sharded_step(mesh: Mesh, params: ModelParams, dt: float, *,
                       compute_diags: bool = False, nsteps: int = 1,
                       interior_impl: str = "auto", check_vma: bool = True,
-                      health: bool = False):
+                      health: bool = False, local_diags=None):
     """Build the distributed step: ``shard_map`` of the column physics over
     the mesh plus the psum'd global monitoring reductions.
 
@@ -89,17 +89,34 @@ def make_sharded_step(mesh: Mesh, params: ModelParams, dt: float, *,
     (models/coupled.py ``step(..., health=True)``) into ``global_diags``
     even with ``compute_diags=False`` — pod-wide failure observability
     at two scalars per step.
+
+    ``local_diags``: optional tuple of diagnostic names to return as
+    COLUMN-SHARDED fields (the pod history path: each process reads its
+    addressable shards and writes its slice of the history file — no
+    gather, no collective).  The return becomes ``(state',
+    global_diags, local)`` with ``local[name]`` sharded like the state;
+    selection uses the selective-diagnostics filter, so unrequested
+    diagnostics are dead-code-eliminated.  Requires
+    ``compute_diags=True`` (the filter semantics of
+    models/coupled.py::evaluate_tendencies; GLOBAL_SUM_DIAGS are
+    computed independently of the selection).
     """
+    local_diags = tuple(local_diags) if local_diags is not None else None
 
     def local_step(state, grid, forcing):
         for _ in range(nsteps - 1):
             state, _ = step(state, grid, forcing, params, dt,
                             compute_diags=False,
                             interior_impl=interior_impl)
+        # the psum'd global sums must exist regardless of the local
+        # selection, so the filter keeps their union
+        dfilter = (local_diags + tuple(
+            n for n in GLOBAL_SUM_DIAGS if n not in local_diags)
+            if local_diags is not None else None)
         new_state, diags = step(state, grid, forcing, params, dt,
                                 compute_diags=compute_diags,
                                 interior_impl=interior_impl,
-                                health=health)
+                                health=health, diag_filter=dfilter)
         if compute_diags:
             global_diags = {
                 name: jax.lax.psum(jnp.sum(diags[name]), COLUMNS)
@@ -110,6 +127,9 @@ def make_sharded_step(mesh: Mesh, params: ModelParams, dt: float, *,
         if health:
             for name in HEALTH_DIAGS:
                 global_diags[name] = jax.lax.psum(diags[name], COLUMNS)
+        if local_diags is not None:
+            return (new_state, global_diags,
+                    {name: diags[name] for name in local_diags})
         return new_state, global_diags
 
     def specs_like(tree):
@@ -124,12 +144,23 @@ def make_sharded_step(mesh: Mesh, params: ModelParams, dt: float, *,
         # call and passes the vma check (out_shapes carry the vma).
         scalar_names = (tuple(GLOBAL_SUM_DIAGS) if compute_diags
                         else ()) + (HEALTH_DIAGS if health else ())
+        out_specs = (specs_like(state),
+                     {name: P() for name in scalar_names})
+        if local_diags is not None:
+            # per-leaf column specs from the unsharded shapes (all
+            # diagnostics carry columns on the last axis)
+            shapes = jax.eval_shape(
+                lambda s, g, f: step(s, g, f, params, dt,
+                                     compute_diags=True,
+                                     diag_filter=local_diags)[1],
+                state, grid, forcing)
+            out_specs = out_specs + (
+                {name: _col_spec(shapes[name]) for name in local_diags},)
         mapped = jax.shard_map(
             local_step, mesh=mesh,
             in_specs=(specs_like(state), specs_like(grid),
                       specs_like(forcing)),
-            out_specs=(specs_like(state),
-                       {name: P() for name in scalar_names}),
+            out_specs=out_specs,
             check_vma=check_vma,
         )
         return mapped(state, grid, forcing)

@@ -118,3 +118,39 @@ def test_sharded_forced_run_matches_single_device():
     np.testing.assert_allclose(np.asarray(got_h.bgc.tracers),
                                np.asarray(want_h.bgc.tracers),
                                rtol=1e-10, atol=1e-280)
+
+
+def test_sharded_local_diags_match_single_device():
+    """make_sharded_step(local_diags=...): per-column diagnostic fields
+    come back COLUMN-SHARDED (the pod history path — each process would
+    write its addressable shards) and equal the unsharded step's values;
+    the psum'd global sums still replicate."""
+    from jax.sharding import NamedSharding
+
+    from ocean_bgc_tpu.models.coupled import step as plain_step
+    from ocean_bgc_tpu.parallel.sharding import (GLOBAL_SUM_DIAGS,
+                                                 _col_spec)
+
+    ndev = len(jax.devices())
+    state, grid, forcing = synthetic_world(nlev=6, ncol=16 * ndev,
+                                           seed=31, ragged=True)
+    params = ModelParams()
+    keep = ("pco2surf", "NITRIF", "POC_FLUX_IN")
+
+    mesh = make_mesh()
+    s_state, s_grid, s_forcing = shard_world(state, grid, forcing, mesh)
+    fn = make_sharded_step(mesh, params, 3600.0, compute_diags=True,
+                           local_diags=keep)
+    new_state, gsums, local = fn(s_state, s_grid, s_forcing)
+    assert set(local) == set(keep)
+    assert set(gsums) == set(GLOBAL_SUM_DIAGS)
+
+    _, want = plain_step(state, grid, forcing, params, 3600.0,
+                         compute_diags=True)
+    for name in keep:
+        arr = local[name]
+        assert isinstance(arr.sharding, NamedSharding)
+        assert arr.sharding.spec == _col_spec(arr), name
+        np.testing.assert_allclose(np.asarray(arr),
+                                   np.asarray(want[name]),
+                                   rtol=1e-12, atol=1e-20, err_msg=name)
