@@ -63,6 +63,7 @@ from ocean_bgc_tpu.ops.carbonate import (
     carbonate_coeffs,
     co3_sat_vals,
     co3_terms_dual,
+    solve_htotal,
     talk,
 )
 from ocean_bgc_tpu.ops.particulates import (
@@ -236,6 +237,21 @@ class EnvCache(NamedTuple):
     tfunc: jax.Array           # ecosystem Q10 response
     diss: DissolutionCache     # sinking-scheme decay factors
     fingerprint: Optional[jax.Array] = None   # checksum of (T,S,grid)
+    standin_ph: Optional[jax.Array] = None
+    # ``standin_ph``: pH of the INACTIVE-cell stand-in problem
+    # (dic=2000, alk=2300, T=10, S=35 — the benign below-bottom values
+    # bgc_source_sink substitutes so every lane of the batched solve
+    # converges).  Inactive lanes keep the 0 cold-start sentinel in the
+    # public ph_prev state forever (the reference never defines pH below
+    # kmax, and tests pin that inactive cells pass their incoming pH
+    # through), so without this table they re-solve COLD every step —
+    # and the batched while_loop runs to the MAX lane count, so ~9% of
+    # lanes at ~13 cold iterations made EVERY production step pay ~13
+    # trips where the warm active lanes need <= 3 (measured,
+    # docs/BENCHMARKS.md round 5).  Seeding inactive lanes' brackets
+    # from this table cuts the trip count to the warm-lane max.  The
+    # seed is discarded by the ``where(active, ...)`` carry, so every
+    # public output is bitwise unchanged.
 
 
 def env_fingerprint(grid: ColumnGrid, forcing: BGCForcing) -> jax.Array:
@@ -323,9 +339,28 @@ def precompute_env(grid: ColumnGrid, forcing: BGCForcing,
     tfunc = c.Q_10 ** ((temp - c.TREF) / 10.0)
     diss = precompute_dissolution(temp, grid.cell_thickness,
                                   grid.cell_bottom_depth, params)
+    # solve the inactive-cell stand-in problem once per cache refresh
+    # (one cold solve amortized over every step the cache serves) so
+    # the in-step solver can warm-start its inactive lanes — see the
+    # EnvCache.standin_ph note.  pt = sit = 0: the in-step inactive
+    # lanes carry whatever PO4/SiO3 padding the host supplied, but
+    # those enter the TA residual only through the weak phosphate/
+    # silicate alkalinity terms, shifting the root by far less than
+    # the +/-DEL_PH window the seed opens.
+    dtype = temp.dtype
+    zero = jnp.zeros_like(temp_s)
+    dic_m, ta_m, pt_m, sit_m = _to_mass_units(
+        jnp.full_like(temp_s, 2000.0), jnp.full_like(temp_s, 2300.0),
+        zero, zero)
+    h_standin = solve_htotal(
+        coeffs, dic_m, ta_m, pt_m, sit_m,
+        jnp.full_like(temp_s, 10.0 ** -c.PHHI_3D_INIT),
+        jnp.full_like(temp_s, 10.0 ** -c.PHLO_3D_INIT))
+    standin_ph = -jnp.log10(h_standin).astype(dtype)
     return EnvCache(coeffs=coeffs, co3_sat_calc=sat_calc,
                     co3_sat_arag=sat_arag, tfunc=tfunc, diss=diss,
-                    fingerprint=env_fingerprint(grid, forcing))
+                    fingerprint=env_fingerprint(grid, forcing),
+                    standin_ph=standin_ph)
 
 
 class EcosystemKinetics(NamedTuple):
@@ -1133,17 +1168,32 @@ def bgc_source_sink(
     temp_s = jnp.where(active, temp, 10.0)
     salt_s = jnp.where(active, salt, 35.0)
 
+    # Warm-seed the INACTIVE lanes' brackets from the cached stand-in
+    # root (EnvCache.standin_ph): the public ph_prev state keeps its 0
+    # sentinel below the ocean floor (reference semantics), so those
+    # lanes would otherwise take the cold ~13-iteration wide-bracket
+    # path EVERY step — and the batched while_loop pays the max lane
+    # count, not the mean (measured: warm active lanes converge in
+    # <= 3).  The seed feeds only the discarded inactive-lane results,
+    # so active-lane outputs are bitwise unchanged (per-lane freezing
+    # makes each lane's iterate sequence independent of batchmates).
+    if env is not None and env.standin_ph is not None:
+        ph_seed = jnp.where(active, ph_prev_3d, env.standin_ph)
+        ph_seed_alt = jnp.where(active, ph_prev_alt_3d, env.standin_ph)
+    else:
+        ph_seed, ph_seed_alt = ph_prev_3d, ph_prev_alt_3d
+
     if carbonate_impl == "pallas":
         # the Mosaic kernel converts pH-space brackets itself (cheap
         # hardware f32 pows)
-        phlo = jnp.where(ph_prev_3d != 0.0, ph_prev_3d - c.DEL_PH,
+        phlo = jnp.where(ph_seed != 0.0, ph_seed - c.DEL_PH,
                          c.PHLO_3D_INIT)
-        phhi = jnp.where(ph_prev_3d != 0.0, ph_prev_3d + c.DEL_PH,
+        phhi = jnp.where(ph_seed != 0.0, ph_seed + c.DEL_PH,
                          c.PHHI_3D_INIT)
-        phlo_alt = jnp.where(ph_prev_alt_3d != 0.0,
-                             ph_prev_alt_3d - c.DEL_PH, c.PHLO_3D_INIT)
-        phhi_alt = jnp.where(ph_prev_alt_3d != 0.0,
-                             ph_prev_alt_3d + c.DEL_PH, c.PHHI_3D_INIT)
+        phlo_alt = jnp.where(ph_seed_alt != 0.0,
+                             ph_seed_alt - c.DEL_PH, c.PHLO_3D_INIT)
+        phhi_alt = jnp.where(ph_seed_alt != 0.0,
+                             ph_seed_alt + c.DEL_PH, c.PHHI_3D_INIT)
     # ambient + ALT_CO2 solves of the same cell (the reference's two
     # comp_CO3terms calls, BGC_mod.F90:952-978) share coefficients
     # the health check re-evaluates the TA residual at the returned pH,
@@ -1188,9 +1238,9 @@ def bgc_source_sink(
         # +/-del_ph window, BGC_mod.F90:943-956, reproduced to 1 ulp in
         # the endpoints, which only seed the root search)
         from ocean_bgc_tpu.ops.carbonate import warm_brackets_h
-        br = warm_brackets_h(ph_prev_3d, c.PHLO_3D_INIT, c.PHHI_3D_INIT,
+        br = warm_brackets_h(ph_seed, c.PHLO_3D_INIT, c.PHHI_3D_INIT,
                              c.DEL_PH)
-        br_alt = warm_brackets_h(ph_prev_alt_3d, c.PHLO_3D_INIT,
+        br_alt = warm_brackets_h(ph_seed_alt, c.PHLO_3D_INIT,
                                  c.PHHI_3D_INIT, c.DEL_PH)
         ((ph_3d, h2co3, hco3, co3),
          (ph_3d_alt, h2co3_alt, hco3_alt, co3_alt)) = co3_terms_dual(

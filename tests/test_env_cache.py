@@ -172,3 +172,58 @@ def test_run_env_cache_default():
                                rtol=1e-10, atol=1e-280)
     np.testing.assert_allclose(np.asarray(a.dms), np.asarray(b.dms),
                                rtol=1e-10, atol=1e-280)
+
+
+def test_standin_seed_bitwise_invariant_and_faster():
+    """Round-5 inactive-lane warm seeding (EnvCache.standin_ph):
+
+    1. every public output — state AND all diagnostics — is BITWISE
+       identical with and without the seed (the seeded brackets feed
+       only the discarded inactive-lane results; per-lane freezing
+       makes active lanes' iterate sequences independent of
+       batchmates);
+    2. the batched solver's max iteration count (= the while_loop trip
+       count every step pays) drops to the warm-lane level (measured
+       13 -> 3 on the flagship world, docs/BENCHMARKS.md round 5).
+    """
+    from ocean_bgc_tpu import constants as c
+    from ocean_bgc_tpu.ops.carbonate import (
+        _to_mass_units, solve_htotal_stats, warm_brackets_h)
+    from ocean_bgc_tpu.state import BGCTracers as T
+
+    state, grid, forcing = synthetic_world(nlev=12, ncol=64, seed=3,
+                                           ragged=True)
+    params = ModelParams()
+    env = precompute_env(grid, forcing, params.bgc)
+    assert env.standin_ph is not None
+    env_noseed = env._replace(standin_ph=None)
+
+    s1, s2 = state, state
+    for _ in range(3):
+        s1, d1 = step(s1, grid, forcing, params, 3600.0, env=env)
+        s2, d2 = step(s2, grid, forcing, params, 3600.0, env=env_noseed)
+    for a, b in zip(jax.tree.leaves((s1, d1)), jax.tree.leaves((s2, d2))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the warm-regime iteration distribution, as bgc_source_sink forms it
+    active = grid.active_mask()
+    assert not bool(np.asarray(active).all())      # world has inactive lanes
+    trc = jnp.maximum(s1.bgc.tracers, 0.0)
+    dic_m, ta_m, pt_m, sit_m = _to_mass_units(
+        jnp.where(active, trc[:, T.DIC], 2000.0),
+        jnp.where(active, trc[:, T.ALK], 2300.0),
+        trc[:, T.PO4], trc[:, T.SIO3])
+
+    def max_iters(ph_seed):
+        br = warm_brackets_h(ph_seed, c.PHLO_3D_INIT, c.PHHI_3D_INIT,
+                             c.DEL_PH)
+        _, iters, conv = solve_htotal_stats(env.coeffs, dic_m, ta_m,
+                                            pt_m, sit_m, br[0], br[1])
+        assert bool(np.asarray(conv).all())
+        return int(np.asarray(iters).max())
+
+    unseeded = max_iters(s1.bgc.ph_prev_3d)
+    seeded = max_iters(jnp.where(active, s1.bgc.ph_prev_3d,
+                                 env.standin_ph))
+    assert unseeded >= 8, unseeded     # cold inactive lanes dominate
+    assert seeded <= 4, seeded         # warm-lane level
