@@ -366,8 +366,13 @@ def main():
     # default blew the round-3 driver budget (VERDICT round 3, weak #1).
     configs = {}
     if os.environ.get("BENCH_QUAD", "0") == "1" and dtype is None:
-        configs[f"env_{'on' if use_env else 'off'}"
-                f"_diags_{'on' if diags else 'off'}"] = round(value, 2)
+        # seed the quad with the primary measurement ONLY when it is a
+        # plain (env, diags) configuration — a diag-filtered primary
+        # under the plain key would mislabel it relative to the other
+        # (unfiltered) quad entries
+        if dfilter is None and ddt is None:
+            configs[f"env_{'on' if use_env else 'off'}"
+                    f"_diags_{'on' if diags else 'off'}"] = round(value, 2)
         for e, d in ((True, False), (False, False), (True, True),
                      (False, True)):
             key = (f"env_{'on' if e else 'off'}"
@@ -403,11 +408,24 @@ def main():
                                 diag_filter=dfilter)
         vs_baseline = value / cpu_value
     except Exception:
-        vs_baseline = value / cpu_pin
-        baseline_note = ("pinned round-2 host-CPU measurement "
-                         "(9,336 columns/s, 512 columns; live CPU "
-                         "baseline skipped: budget exhausted or CPU "
-                         "backend unavailable)")
+        # the pin is an f64, env-on, diags-off, unfiltered measurement —
+        # only a matching primary may be ratioed against it; any other
+        # configuration records vs_baseline=null rather than a ratio of
+        # incompatible configurations
+        if (dtype is None and dfilter is None and ddt is None
+                and use_env and not diags):
+            vs_baseline = value / cpu_pin
+            baseline_note = ("pinned round-2 host-CPU measurement "
+                             "(9,336 columns/s, 512 columns; live CPU "
+                             "baseline skipped: budget exhausted or CPU "
+                             "backend unavailable)")
+        else:
+            vs_baseline = None
+            baseline_note = ("no baseline: live CPU run skipped (budget "
+                             "exhausted or CPU backend unavailable) and "
+                             "the pinned round-2 CPU measurement is an "
+                             "f64 env-on diags-off unfiltered config, "
+                             "which this run is not")
 
     prec = "f32" if dtype is not None else "f64"
     out = {
@@ -418,7 +436,8 @@ def main():
                   + ("_f32diags" if ddt is not None else ""),
         "value": round(value, 2),
         "unit": f"columns/s/chip ({nlev}-level, 35-tracer step)",
-        "vs_baseline": round(vs_baseline, 3),
+        "vs_baseline": (round(vs_baseline, 3)
+                        if vs_baseline is not None else None),
         # explicit semantics (VERDICT round 2): what the number means
         "env": use_env,
         "diags": diags,

@@ -66,7 +66,9 @@ from ocean_bgc_tpu.state import (
     BGCTracers,
     ColumnGrid,
     DMS_TRACER_NAMES,
+    DMS_TRACER_LONG_NAMES,
     MACROS_TRACER_NAMES,
+    MACROS_TRACER_LONG_NAMES,
     bgc_tracer_units,
 )
 
@@ -135,7 +137,10 @@ def dms_parms_init(**overrides) -> DMSParams:
 
 
 def dms_init() -> TracerMetadata:
-    return TracerMetadata(DMS_TRACER_NAMES, DMS_TRACER_NAMES,
+    """Sulfur-tracer metadata registration (DMS_init,
+    DMS_mod.F90:101-144): the reference's long names verbatim and its
+    blanket 'mmol/m^3' units (DMS_mod.F90:144)."""
+    return TracerMetadata(DMS_TRACER_NAMES, DMS_TRACER_LONG_NAMES,
                           ("mmol/m^3",) * DMS_tracer_cnt)
 
 
@@ -144,7 +149,9 @@ def macros_parms_init(**overrides) -> MACROSParams:
 
 
 def macros_init() -> TracerMetadata:
-    return TracerMetadata(MACROS_TRACER_NAMES, MACROS_TRACER_NAMES,
+    """Macromolecule-tracer metadata registration (MACROS_init,
+    MACROS_mod.F90:100-126; blanket units MACROS_mod.F90:126)."""
+    return TracerMetadata(MACROS_TRACER_NAMES, MACROS_TRACER_LONG_NAMES,
                           ("mmol/m^3",) * MACROS_tracer_cnt)
 
 

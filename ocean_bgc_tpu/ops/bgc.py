@@ -1237,16 +1237,26 @@ def bgc_source_sink(
         # instead of two (carbonate.py::warm_brackets_h; the reference's
         # +/-del_ph window, BGC_mod.F90:943-956, reproduced to 1 ulp in
         # the endpoints, which only seed the root search)
-        from ocean_bgc_tpu.ops.carbonate import warm_brackets_h
+        from ocean_bgc_tpu.ops.carbonate import (
+            warm_brackets_h, x0_seed_enabled)
+        seed = x0_seed_enabled()
         br = warm_brackets_h(ph_seed, c.PHLO_3D_INIT, c.PHHI_3D_INIT,
-                             c.DEL_PH)
+                             c.DEL_PH, with_seed=seed)
         br_alt = warm_brackets_h(ph_seed_alt, c.PHLO_3D_INIT,
-                                 c.PHHI_3D_INIT, c.DEL_PH)
+                                 c.PHHI_3D_INIT, c.DEL_PH,
+                                 with_seed=seed)
+        # warm lanes carry a trusted bracket: once every lane is warm
+        # (step 1 onward with the env cache's stand-in seed), the
+        # solver skips its bracket phase bitwise-identically — see
+        # solve_htotal_warm
+        trusted = (ph_seed != 0.0).astype(dic_s.dtype)
+        trusted_alt = (ph_seed_alt != 0.0).astype(dic_s.dtype)
         ((ph_3d, h2co3, hco3, co3),
          (ph_3d_alt, h2co3_alt, hco3_alt, co3_alt)) = co3_terms_dual(
             depth_m, temp_s, salt_s, dic_s, alk_s, po4, sio3,
             None, None, None, None, subsurface,
-            coeffs=coeffs_h, brackets_a=br, brackets_b=br_alt)
+            coeffs=coeffs_h, brackets_a=br, brackets_b=br_alt,
+            trusted_a=trusted, trusted_b=trusted_alt)
         if env is not None:
             co3_sat_calc = env.co3_sat_calc
             co3_sat_arag = env.co3_sat_arag

@@ -391,6 +391,21 @@ def talk_fast(coeffs: CarbCoeffs, dic, ta, pt, sit, x):
     return fn, df
 
 
+def x0_seed_enabled() -> bool:
+    """OBGC_X0_SEED=1 opts into seeding the solver iteration at the
+    previous step's root instead of the reference's bracket midpoint
+    (read at trace time).  ~1 warm iteration instead of 2-3, BUT the
+    returned root lands elsewhere inside the xacc tolerance ball (the
+    midpoint-seeded root carries ~1e-4 relative error at the loose
+    reference tolerance; the seeded one is closer to the true root but
+    no longer matches the reference's iterate sequence), so like
+    OBGC_FAST_F64 this is NOT the bitwise contract path — it is
+    qualified by the same perturbation-envelope methodology
+    (tests/test_carbonate.py, tests/test_fast_f64.py pattern) and
+    ships opt-in."""
+    return os.environ.get("OBGC_X0_SEED", "0") == "1"
+
+
 def _fast_f64_enabled() -> bool:
     """OBGC_FAST_F64=1 opts the float64 solver into talk_fast (read at
     trace time; the flag never affects float32, whose solver already
@@ -419,17 +434,19 @@ def solve_htotal(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2):
     return _solve_htotal_impl(coeffs, dic, ta, pt, sit, x1, x2)
 
 
-def solve_htotal_stats(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2):
+def solve_htotal_stats(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2,
+                       x0=None):
     """Instrumented variant: returns (htotal, per-lane iteration count,
     per-lane converged flag) — the convergence observability the
     reference silently drops (co2calc.F90:993-995 commented-out abort).
     Not differentiable; for monitoring/analysis paths."""
     return _solve_htotal_impl(coeffs, dic, ta, pt, sit, x1, x2,
-                              with_stats=True)
+                              with_stats=True, x0=x0)
 
 
 def _solve_htotal_impl(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2,
-                       xacc=None, with_stats=False):
+                       xacc=None, with_stats=False, x0=None,
+                       trusted=None):
     dtype = jnp.result_type(x1, x2)
     if xacc is None:
         # the f64 contract uses the reference's xacc; the opt-in f32 fast
@@ -444,10 +461,6 @@ def _solve_htotal_impl(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2,
 
     def f_of(x):
         return talk_fn(coeffs, dic, ta, pt, sit, x)
-
-    # --- bracket phase: grow geometrically until the root is straddled ---
-    flo0, _ = f_of(x1)
-    fhi0, _ = f_of(x2)
 
     def not_bracketed(flo, fhi):
         return ((flo > 0.0) & (fhi > 0.0)) | ((flo < 0.0) & (fhi < 0.0))
@@ -474,16 +487,64 @@ def _solve_htotal_impl(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2,
         fhi_n = jnp.where(m, fhi_n, fhi)
         return x1n, x2n, flo_n, fhi_n, it + 1
 
-    x1b, x2b, flo, fhi, _ = jax.lax.while_loop(
-        bracket_cond, bracket_body,
-        (x1, x2, flo0, fhi0, jnp.asarray(0, jnp.int32)))
+    def bracket_and_orient(_):
+        """The reference's bracket phase: evaluate both endpoints, grow
+        geometrically until the root is straddled, then orient so that
+        f(xlo) < 0 (co2calc.F90:920-949).  Two whole-batch TA
+        evaluations + the growth loop."""
+        flo0, _ = f_of(x1)
+        fhi0, _ = f_of(x2)
+        x1b, x2b, flo, fhi, _ = jax.lax.while_loop(
+            bracket_cond, bracket_body,
+            (x1, x2, flo0, fhi0, jnp.asarray(0, jnp.int32)))
+        neg_at_x1 = flo < 0.0
+        return (jnp.where(neg_at_x1, x1b, x2b),
+                jnp.where(neg_at_x1, x2b, x1b))
 
-    # --- orient bracket so that f(xlo) < 0 (co2calc.F90:940-949) ---
-    neg_at_x1 = flo < 0.0
-    xlo = jnp.where(neg_at_x1, x1b, x2b)
-    xhi = jnp.where(neg_at_x1, x2b, x1b)
+    if trusted is None:
+        xlo, xhi = bracket_and_orient(None)
+    else:
+        # When EVERY lane carries a trusted bracket (a +/-DEL_PH window
+        # around a previous root — either its own warm start or the
+        # cached inactive-lane stand-in), the two endpoint evaluations
+        # and the growth loop are pure overhead: the total-alkalinity
+        # residual is strictly decreasing in H over the solver's whole
+        # physical range (every species' charge fraction shifts
+        # monotonically with acidity; the reference re-derives this
+        # orientation numerically every call), so f(x1 = low H) > 0 >
+        # f(x2 = high H) and the oriented bracket is statically
+        # (xlo, xhi) = (x2, x1) — bitwise identical to what
+        # bracket_and_orient returns whenever growth would not have
+        # fired.  A single whole-batch any() picks the path at run
+        # time, so the first (cold) step still takes the reference
+        # bracket phase.  If a root escapes its warm window (> DEL_PH
+        # pH drift in one step — outside the model's physical regime),
+        # the iteration stalls at an endpoint instead of growing; the
+        # health counters' residual check observes exactly that case
+        # (ops/bgc.py::StepHealth).
+        trusted_b = jnp.broadcast_to(jnp.asarray(trusted), x1.shape)
+        xlo, xhi = jax.lax.cond(_any(trusted_b < 0.5),
+                                bracket_and_orient,
+                                lambda _: (x2, x1), None)
 
     soln0 = 0.5 * (xlo + xhi)
+    if x0 is not None:
+        # Seed the iteration at the caller's guess (the previous step's
+        # root) instead of the bracket midpoint.  The reference starts
+        # at the midpoint (drtsafe, co2calc.F90:951), which for the
+        # warm +/-DEL_PH bracket is ~11% off in H and costs 2-3 Newton
+        # iterations; the previous root is off only by one timestep's
+        # pH drift (<< xacc), so most lanes converge in ONE (measured,
+        # docs/BENCHMARKS.md round 5).  x0 <= 0 lanes (the cold
+        # sentinel) keep the midpoint.  The guess is clamped into the
+        # bracket so the safe-Newton invariants hold even if the root
+        # escaped the warm window and the bracket grew; the converged
+        # root agrees with the midpoint-seeded one to solver tolerance
+        # (pinned by tests/test_carbonate.py).
+        x0b = jnp.broadcast_to(jnp.asarray(x0, dtype), soln0.shape)
+        lo = jnp.minimum(xlo, xhi)
+        hi = jnp.maximum(xlo, xhi)
+        soln0 = jnp.where(x0b > 0.0, jnp.clip(x0b, lo, hi), soln0)
     dxold0 = jnp.abs(xlo - xhi)
     f0, df0 = f_of(soln0)
 
@@ -573,6 +634,48 @@ def _solve_htotal_bwd(res, g):
 solve_htotal.defvjp(_solve_htotal_fwd, _solve_htotal_bwd)
 
 
+@jax.custom_vjp
+def solve_htotal_warm(coeffs: CarbCoeffs, dic, ta, pt, sit, x1, x2, x0,
+                      trusted):
+    """:func:`solve_htotal` with the two warm-regime accelerations:
+
+    ``trusted`` (float mask, 1.0 = this lane's bracket is a warm
+    +/-DEL_PH window around a previous root): when every lane is
+    trusted the bracket phase's two endpoint evaluations and growth
+    loop are skipped and the orientation is static — BITWISE identical
+    results (see ``_solve_htotal_impl``'s fast-path note), picked per
+    call by one runtime any().
+
+    ``x0`` (previous root per lane, 0 = cold sentinel): start the
+    iteration at the previous root instead of the bracket midpoint —
+    ~1 iteration instead of 2-3, returning the same root to solver
+    tolerance (NOT bitwise: the iterate sequence differs, so this one
+    is opt-in, OBGC_X0_SEED=1; pass all-zeros for the bitwise
+    midpoint start).
+
+    Differentiable via the same implicit-function-theorem VJP as
+    :func:`solve_htotal` (the root is independent of bracket, seed,
+    and mask)."""
+    return _solve_htotal_impl(coeffs, dic, ta, pt, sit, x1, x2, x0=x0,
+                              trusted=trusted)
+
+
+def _solve_htotal_warm_fwd(coeffs, dic, ta, pt, sit, x1, x2, x0,
+                           trusted):
+    h = _solve_htotal_impl(coeffs, dic, ta, pt, sit, x1, x2, x0=x0,
+                           trusted=trusted)
+    return h, (coeffs, dic, ta, pt, sit, h, x1, x2, x0, trusted)
+
+
+def _solve_htotal_warm_bwd(res, g):
+    *grads, d_x1, d_x2 = _solve_htotal_bwd(res[:8], g)
+    return (*grads, d_x1, d_x2, jnp.zeros_like(res[8]),
+            jnp.zeros_like(res[9]))
+
+
+solve_htotal_warm.defvjp(_solve_htotal_warm_fwd, _solve_htotal_warm_bwd)
+
+
 def _to_mass_units(dic_in, ta_in, pt_in, sit_in):
     """Floor tracers and convert (mmol/m^3) -> (mol/kg) (comp_htotal,
     co2calc.F90:843-846)."""
@@ -611,7 +714,7 @@ def co3_terms(depth_m, temp, salt, dic_in, ta_in, pt_in, sit_in,
     return ph, h2co3, hco3, co3
 
 
-def warm_brackets_h(ph_prev, lo_init, hi_init, del_ph):
+def warm_brackets_h(ph_prev, lo_init, hi_init, del_ph, with_seed=False):
     """H-space warm-start brackets with ONE transcendental per cell.
 
     The reference brackets a warm-started solve at ph_prev +/- del_ph
@@ -635,13 +738,17 @@ def warm_brackets_h(ph_prev, lo_init, hi_init, del_ph):
     h_prev = 10.0 ** -jnp.where(warm, ph_prev, 8.0)
     x1 = jnp.where(warm, h_prev * (10.0 ** -del_ph), 10.0 ** -hi_init)
     x2 = jnp.where(warm, h_prev * (10.0 ** del_ph), 10.0 ** -lo_init)
+    if with_seed:
+        # the previous root itself, as the iteration seed for
+        # solve_htotal_x0 (0 = cold sentinel -> bracket midpoint)
+        return x1, x2, jnp.where(warm, h_prev, 0.0)
     return x1, x2
 
 
 def co3_terms_dual(depth_m, temp, salt, dic_in, ta_in, pt_in, sit_in,
                    phlo_a, phhi_a, phlo_b, phhi_b, apply_pressure,
                    *, coeffs: CarbCoeffs = None, brackets_a=None,
-                   brackets_b=None):
+                   brackets_b=None, trusted_a=None, trusted_b=None):
     """Two pH solves of the SAME (DIC, TA) cell from two warm-start
     brackets — the reference's ambient + ALT_CO2 interior pattern
     (BGC_mod.F90:952-978).  The equilibrium coefficients depend only on
@@ -655,9 +762,15 @@ def co3_terms_dual(depth_m, temp, salt, dic_in, ta_in, pt_in, sit_in,
     the cache evaluates the same expressions on the same inputs.
 
     ``brackets_a`` / ``brackets_b``: optionally supply H-space bracket
-    endpoints ``(x1, x2)`` directly (see :func:`warm_brackets_h`) and
-    skip the per-cell 10**-ph conversions; the corresponding
-    phlo/phhi arguments are then ignored.  Sequential (f64) path only.
+    endpoints ``(x1, x2)`` — or ``(x1, x2, x0)`` with an iteration seed
+    (``warm_brackets_h(..., with_seed=True)``) — directly, skipping the
+    per-cell 10**-ph conversions; the corresponding phlo/phhi arguments
+    are then ignored.  Consumed by BOTH the sequential (f64) and the
+    stacked (f32 / OBGC_DUAL_STACK_F64) branches.
+
+    ``trusted_a`` / ``trusted_b``: optional float masks (1.0 = warm
+    bracket) enabling the bitwise bracket-phase skip — see
+    :func:`solve_htotal_warm`.
 
     Returns ((ph, h2co3, hco3, co3) for bracket a, same for bracket b).
     """
@@ -684,7 +797,24 @@ def co3_terms_dual(depth_m, temp, salt, dic_in, ta_in, pt_in, sit_in,
                             jnp.broadcast_to(10.0 ** (-phhi_b), dic.shape)])
             x2 = jnp.stack([jnp.broadcast_to(10.0 ** (-phlo_a), dic.shape),
                             jnp.broadcast_to(10.0 ** (-phlo_b), dic.shape)])
-        htotal = solve_htotal(coeffs, dic, ta, pt, sit, x1, x2)
+        if trusted_a is not None or (brackets_a is not None
+                                     and len(brackets_a) == 3):
+            if brackets_a is not None and len(brackets_a) == 3:
+                x0 = jnp.stack(
+                    [jnp.broadcast_to(brackets_a[2], dic.shape),
+                     jnp.broadcast_to(brackets_b[2], dic.shape)])
+            else:
+                x0 = jnp.zeros_like(x1)
+            if trusted_a is not None:
+                tr = jnp.stack(
+                    [jnp.broadcast_to(trusted_a, dic.shape),
+                     jnp.broadcast_to(trusted_b, dic.shape)])
+            else:
+                tr = jnp.zeros_like(x1)
+            htotal = solve_htotal_warm(coeffs, dic, ta, pt, sit, x1, x2,
+                                       x0, tr)
+        else:
+            htotal = solve_htotal(coeffs, dic, ta, pt, sit, x1, x2)
 
         htotal2 = htotal ** 2
         denom = 1.0 / (htotal2 + coeffs.k1 * htotal
@@ -697,13 +827,21 @@ def co3_terms_dual(depth_m, temp, salt, dic_in, ta_in, pt_in, sit_in,
         return ((ph[0], h2co3[0], hco3[0], co3[0]),
                 (ph[1], h2co3[1], hco3[1], co3[1]))
 
-    def one(phlo, phhi, brackets):
+    def one(phlo, phhi, brackets, trusted):
         if brackets is not None:
-            x1, x2 = brackets
+            x1, x2 = brackets[0], brackets[1]
         else:
             x1 = 10.0 ** (-phhi)
             x2 = 10.0 ** (-phlo)
-        htotal = solve_htotal(coeffs, dic, ta, pt, sit, x1, x2)
+        if trusted is not None or (brackets is not None
+                                   and len(brackets) == 3):
+            x0 = (brackets[2] if brackets is not None
+                  and len(brackets) == 3 else jnp.zeros_like(dic))
+            tr = trusted if trusted is not None else jnp.zeros_like(dic)
+            htotal = solve_htotal_warm(coeffs, dic, ta, pt, sit, x1, x2,
+                                       x0, tr)
+        else:
+            htotal = solve_htotal(coeffs, dic, ta, pt, sit, x1, x2)
         htotal2 = htotal ** 2
         denom = 1.0 / (htotal2 + coeffs.k1 * htotal
                        + coeffs.k1 * coeffs.k2)
@@ -712,15 +850,16 @@ def co3_terms_dual(depth_m, temp, salt, dic_in, ta_in, pt_in, sit_in,
         co3 = dic * coeffs.k1 * coeffs.k2 * denom * MASS_TO_VOL
         return -jnp.log10(htotal), h2co3, hco3, co3
 
-    return (one(phlo_a, phhi_a, brackets_a),
-            one(phlo_b, phhi_b, brackets_b))
+    return (one(phlo_a, phhi_a, brackets_a, trusted_a),
+            one(phlo_b, phhi_b, brackets_b, trusted_b))
 
 
 def co2calc_surface_dual(depth_m, temp, salt, dic_a, dic_b, ta_in, pt_in,
                          sit_in, phlo_a, phhi_a, phlo_b, phhi_b,
                          xco2_a, xco2_b, atmpres, *,
                          locmip_k1_k2_bug_fix=True, brackets_a=None,
-                         brackets_b=None):
+                         brackets_b=None, trusted_a=None,
+                         trusted_b=None):
     """The surface ambient + ALT_CO2 pair (BGC_mod.F90:2881-2912): shared
     coefficients, DIC/xCO2/bracket differing per scenario, one stacked
     solve.  Returns two (ph, co2star, dco2star, pco2surf, dpco2) tuples."""
@@ -742,7 +881,22 @@ def co2calc_surface_dual(depth_m, temp, salt, dic_a, dic_b, ta_in, pt_in,
                         jnp.broadcast_to(10.0 ** (-phhi_b), shp)])
         x2 = jnp.stack([jnp.broadcast_to(10.0 ** (-phlo_a), shp),
                         jnp.broadcast_to(10.0 ** (-phlo_b), shp)])
-    htotal = solve_htotal(coeffs, dic, ta, pt, sit, x1, x2)
+    if trusted_a is not None or (brackets_a is not None
+                                 and len(brackets_a) == 3):
+        if brackets_a is not None and len(brackets_a) == 3:
+            x0 = jnp.stack([jnp.broadcast_to(brackets_a[2], shp),
+                            jnp.broadcast_to(brackets_b[2], shp)])
+        else:
+            x0 = jnp.zeros_like(x1)
+        if trusted_a is not None:
+            tr = jnp.stack([jnp.broadcast_to(trusted_a, shp),
+                            jnp.broadcast_to(trusted_b, shp)])
+        else:
+            tr = jnp.zeros_like(x1)
+        htotal = solve_htotal_warm(coeffs, dic, ta, pt, sit, x1, x2, x0,
+                                   tr)
+    else:
+        htotal = solve_htotal(coeffs, dic, ta, pt, sit, x1, x2)
 
     xco2 = jnp.stack([jnp.broadcast_to(jnp.asarray(xco2_a, da.dtype), shp),
                       jnp.broadcast_to(jnp.asarray(xco2_b, da.dtype),

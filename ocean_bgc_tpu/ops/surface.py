@@ -100,11 +100,13 @@ def bgc_surface_fluxes(
         # H-space warm brackets: one 10**-ph per column per scenario
         # instead of two (carbonate.py::warm_brackets_h; the reference
         # window is BGC_mod.F90:2872-2878)
-        from ocean_bgc_tpu.ops.carbonate import warm_brackets_h
+        from ocean_bgc_tpu.ops.carbonate import (
+            warm_brackets_h, x0_seed_enabled)
+        seed = x0_seed_enabled()
         br = warm_brackets_h(surface_ph, PHLO_SURF_INIT, PHHI_SURF_INIT,
-                             DEL_PH)
+                             DEL_PH, with_seed=seed)
         br_alt = warm_brackets_h(surface_ph_alt, PHLO_SURF_INIT,
-                                 PHHI_SURF_INIT, DEL_PH)
+                                 PHHI_SURF_INIT, DEL_PH, with_seed=seed)
         ((ph_new, co2star, dco2star, pco2surf, dpco2),
          (ph_alt_new, co2star_alt, dco2star_alt, pco2surf_alt,
           dpco2_alt)) = co2calc_surface_dual(
@@ -112,7 +114,9 @@ def bgc_surface_fluxes(
             dic, dic_alt, alk, po4, sio3, None, None, None, None,
             forcing.atm_co2, forcing.atm_co2_alt, forcing.surface_pressure,
             locmip_k1_k2_bug_fix=params.locmip_k1_k2_bug_fix,
-            brackets_a=br, brackets_b=br_alt)
+            brackets_a=br, brackets_b=br_alt,
+            trusted_a=(surface_ph != 0.0).astype(dic.dtype),
+            trusted_b=(surface_ph_alt != 0.0).astype(dic.dtype))
         gas = gas.at[T.DIC].set(pv_co2 * dco2star)
         gas = gas.at[T.DIC_ALT_CO2].set(pv_co2 * dco2star_alt)
 

@@ -50,7 +50,10 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
 
 
 def _col_spec(arr: jax.Array) -> P:
-    """Shard the trailing (columns) axis, replicate the rest."""
+    """Shard the trailing (columns) axis, replicate the rest (scalars —
+    e.g. the health counters — are replicated)."""
+    if arr.ndim == 0:
+        return P()
     return P(*([None] * (arr.ndim - 1) + [COLUMNS]))
 
 
@@ -128,8 +131,12 @@ def make_sharded_step(mesh: Mesh, params: ModelParams, dt: float, *,
             for name in HEALTH_DIAGS:
                 global_diags[name] = jax.lax.psum(diags[name], COLUMNS)
         if local_diags is not None:
+            # health counters selected locally resolve to the psum'd
+            # (replicated) scalars — the per-shard counts would violate
+            # the P() output spec's invariance
             return (new_state, global_diags,
-                    {name: diags[name] for name in local_diags})
+                    {name: global_diags.get(name, diags[name])
+                     for name in local_diags})
         return new_state, global_diags
 
     def specs_like(tree):
@@ -148,11 +155,20 @@ def make_sharded_step(mesh: Mesh, params: ModelParams, dt: float, *,
                      {name: P() for name in scalar_names})
         if local_diags is not None:
             # per-leaf column specs from the unsharded shapes (all
-            # diagnostics carry columns on the last axis)
+            # diagnostics carry columns on the last axis).  The shape
+            # probe must mirror the real local_step call — in
+            # particular health=health, so selecting a health counter
+            # in local_diags resolves (the filter admits the counters
+            # only when the step emits them), and the same
+            # interior_impl/filter union
+            dfilter = local_diags + tuple(
+                n for n in GLOBAL_SUM_DIAGS if n not in local_diags)
             shapes = jax.eval_shape(
                 lambda s, g, f: step(s, g, f, params, dt,
                                      compute_diags=True,
-                                     diag_filter=local_diags)[1],
+                                     interior_impl=interior_impl,
+                                     health=health,
+                                     diag_filter=dfilter)[1],
                 state, grid, forcing)
             out_specs = out_specs + (
                 {name: _col_spec(shapes[name]) for name in local_diags},)

@@ -162,8 +162,29 @@ DMS_TRACER_NAMES: Tuple[str, ...] = (
     "phaeoC", "spChl", "diatChl", "diazChl", "phaeoChl",
 )
 
+# Long names exactly as DMS_init registers them (DMS_mod.F90:101-142),
+# including the reference's leading spaces on the phytoplankton-class
+# entries — reproduced verbatim so a host diffing metadata against the
+# reference sees zero differences.
+DMS_TRACER_LONG_NAMES: Tuple[str, ...] = (
+    "DiMethyl Sulfide", "Dimethylsulfoniopropionate",
+    "Dissolved Inorganic Nitrate", "Dissolved Organic Carbon",
+    "Zooplankton Carbon", " Small Phytoplankton Carbon",
+    " Small Phytoplankton Calcium Carbonate", " Diatom Carbon",
+    " Diazotroph Carbon", "Phaeocystis Carbon",
+    " Small Phytoplankton Chlorophyll", " Diatom Chlorophyll",
+    " Diazotroph Chlorophyll", "Phaeocystis Chlorophyll",
+)
+
 MACROS_TRACER_NAMES: Tuple[str, ...] = (
     "PROT", "POLY", "LIP", "zooC", "spC", "diatC", "diazC", "phaeoC",
+)
+
+# MACROS_init long names (MACROS_mod.F90:100-124), same verbatim rule
+MACROS_TRACER_LONG_NAMES: Tuple[str, ...] = (
+    "Proteins", "Polysaccharides", "Lipids", "Zooplankton Carbon",
+    " Small Phytoplankton Carbon", " Diatom Carbon", " Diazotroph Carbon",
+    "Phaeocystis Carbon",
 )
 
 

@@ -247,3 +247,98 @@ def test_warm_brackets_h_contract(rng):
                                    brackets_a=br, brackets_b=br)
     np.testing.assert_allclose(np.asarray(ph_b), np.asarray(ph_a),
                                rtol=0, atol=5e-10)
+
+
+def test_trusted_fast_path_bitwise(rng):
+    """solve_htotal_warm with an all-warm trusted mask skips the bracket
+    phase (endpoint evaluations + growth loop) and must return BITWISE
+    the roots of the reference-shaped solve — the static orientation
+    (the TA residual is strictly decreasing in H) reproduces exactly
+    what the evaluated orientation computes whenever growth would not
+    have fired.  A mixed mask (any untrusted lane) must take the full
+    bracket phase, also bitwise."""
+    import jax.numpy as jnp
+
+    from ocean_bgc_tpu.constants import (DEL_PH, PHHI_3D_INIT,
+                                         PHLO_3D_INIT)
+    from ocean_bgc_tpu.ops.carbonate import (
+        _to_mass_units, carbonate_coeffs, solve_htotal,
+        solve_htotal_warm, warm_brackets_h)
+
+    n = 256
+    temp = jnp.asarray(rng.uniform(-1, 30, n))
+    salt = jnp.asarray(rng.uniform(31, 38, n))
+    coeffs = carbonate_coeffs(jnp.zeros(n), temp, salt, False)
+    dic, ta, pt, sit = _to_mass_units(
+        jnp.asarray(rng.uniform(1850, 2350, n)),
+        jnp.asarray(rng.uniform(2100, 2500, n)),
+        jnp.asarray(rng.uniform(0, 3, n)),
+        jnp.asarray(rng.uniform(0, 120, n)))
+    # a genuinely warm bracket: +/-DEL_PH around the actual root
+    # (perturbed by less than the window, as one timestep's drift
+    # would) — a "trusted" lane PROMISES its bracket straddles the
+    # root; random unrelated ph_prev would not
+    h_true = solve_htotal(coeffs, dic, ta, pt, sit,
+                          jnp.full((n,), 10.0 ** -PHHI_3D_INIT),
+                          jnp.full((n,), 10.0 ** -PHLO_3D_INIT))
+    ph_prev = (-jnp.log10(h_true)
+               + jnp.asarray(rng.uniform(-0.15, 0.15, n)))
+    x1, x2 = warm_brackets_h(ph_prev, PHLO_3D_INIT, PHHI_3D_INIT, DEL_PH)
+    zeros = jnp.zeros_like(x1)
+
+    h_ref = solve_htotal(coeffs, dic, ta, pt, sit, x1, x2)
+    h_fast = solve_htotal_warm(coeffs, dic, ta, pt, sit, x1, x2, zeros,
+                               jnp.ones_like(x1))
+    np.testing.assert_array_equal(np.asarray(h_fast), np.asarray(h_ref))
+
+    mixed = jnp.ones_like(x1).at[7].set(0.0)
+    h_mixed = solve_htotal_warm(coeffs, dic, ta, pt, sit, x1, x2, zeros,
+                                mixed)
+    np.testing.assert_array_equal(np.asarray(h_mixed), np.asarray(h_ref))
+
+
+def test_x0_seed_same_root_fewer_iterations(rng):
+    """The opt-in previous-root seed (OBGC_X0_SEED / solve_htotal_warm
+    x0): same root to solver tolerance, measurably fewer iterations.
+    The seeded root is NOT bitwise the midpoint-seeded root — both live
+    inside the xacc ball (the reference documents xacc -> 3 significant
+    figures of co2star, co2calc.F90:47-53); pin the agreement at the
+    tolerance level and the iteration reduction."""
+    import jax.numpy as jnp
+
+    from ocean_bgc_tpu.constants import (DEL_PH, PHHI_3D_INIT,
+                                         PHLO_3D_INIT)
+    from ocean_bgc_tpu.ops.carbonate import (
+        _to_mass_units, carbonate_coeffs, solve_htotal_stats,
+        warm_brackets_h)
+
+    n = 512
+    temp = jnp.asarray(rng.uniform(-1, 30, n))
+    salt = jnp.asarray(rng.uniform(31, 38, n))
+    coeffs = carbonate_coeffs(jnp.zeros(n), temp, salt, False)
+    dic, ta, pt, sit = _to_mass_units(
+        jnp.asarray(rng.uniform(1850, 2350, n)),
+        jnp.asarray(rng.uniform(2100, 2500, n)),
+        jnp.asarray(rng.uniform(0, 3, n)),
+        jnp.asarray(rng.uniform(0, 120, n)))
+    # converge once from a wide bracket to get a "previous root"
+    x1w = jnp.full((n,), 10.0 ** -PHHI_3D_INIT)
+    x2w = jnp.full((n,), 10.0 ** -PHLO_3D_INIT)
+    h_prev, _, conv = solve_htotal_stats(coeffs, dic, ta, pt, sit,
+                                         x1w, x2w)
+    assert bool(np.asarray(conv).all())
+    ph_prev = -jnp.log10(h_prev)
+    x1, x2, x0 = warm_brackets_h(ph_prev, PHLO_3D_INIT, PHHI_3D_INIT,
+                                 DEL_PH, with_seed=True)
+    h_mid, it_mid, cv1 = solve_htotal_stats(coeffs, dic, ta, pt, sit,
+                                            x1, x2)
+    h_x0, it_x0, cv2 = solve_htotal_stats(coeffs, dic, ta, pt, sit,
+                                          x1, x2, x0=x0)
+    assert bool(np.asarray(cv1).all()) and bool(np.asarray(cv2).all())
+    # same root to solver tolerance (xacc = 1e-10 in H)
+    np.testing.assert_allclose(np.asarray(h_x0), np.asarray(h_mid),
+                               rtol=0, atol=3e-10)
+    # and strictly cheaper in the warm regime
+    assert float(np.asarray(it_x0).mean()) < float(
+        np.asarray(it_mid).mean()) - 0.5
+    assert int(np.asarray(it_x0).max()) <= int(np.asarray(it_mid).max())

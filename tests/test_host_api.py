@@ -28,6 +28,43 @@ def test_metadata_entry_points():
     params = host_api.bgc_parms_init(parm_Fe_bioavail=0.5)
     assert params.parm_Fe_bioavail == 0.5
 
+    # field-for-field metadata diff vs the reference init routines:
+    # every (short, long, units) triple DMS_init/MACROS_init registers
+    # (DMS_mod.F90:101-144, MACROS_mod.F90:100-126), verbatim — the
+    # reference's leading spaces included
+    dms = host_api.dms_init()
+    dms_map = dict(zip(dms.short_name, dms.long_name))
+    assert dms_map == {
+        "DMS": "DiMethyl Sulfide",
+        "DMSP": "Dimethylsulfoniopropionate",
+        "NO3": "Dissolved Inorganic Nitrate",
+        "DOC": "Dissolved Organic Carbon",
+        "zooC": "Zooplankton Carbon",
+        "spChl": " Small Phytoplankton Chlorophyll",
+        "diatChl": " Diatom Chlorophyll",
+        "diazChl": " Diazotroph Chlorophyll",
+        "phaeoChl": "Phaeocystis Chlorophyll",
+        "spC": " Small Phytoplankton Carbon",
+        "diatC": " Diatom Carbon",
+        "diazC": " Diazotroph Carbon",
+        "phaeoC": "Phaeocystis Carbon",
+        "spCaCO3": " Small Phytoplankton Calcium Carbonate",
+    }
+    assert set(dms.units) == {"mmol/m^3"}       # DMS_mod.F90:144
+    mac = host_api.macros_init()
+    mac_map = dict(zip(mac.short_name, mac.long_name))
+    assert mac_map == {
+        "PROT": "Proteins",
+        "POLY": "Polysaccharides",
+        "LIP": "Lipids",
+        "zooC": "Zooplankton Carbon",
+        "spC": " Small Phytoplankton Carbon",
+        "diatC": " Diatom Carbon",
+        "diazC": " Diazotroph Carbon",
+        "phaeoC": "Phaeocystis Carbon",
+    }
+    assert set(mac.units) == {"mmol/m^3"}       # MACROS_mod.F90:126
+
 
 def test_bgc_source_sink_host_layout(rng):
     w = _host_world(rng)
