@@ -75,6 +75,114 @@ def write_history(path: str, tavg: TavgState, *,
     return path
 
 
+def write_history_shards(dirpath: str, fields: Dict[str, jax.Array], *,
+                         process_index: Optional[int] = None,
+                         tag: str = "hist") -> str:
+    """The pod history writer: each process writes ONLY its addressable
+    column shards, with their global offsets, to a per-process file —
+    no gather, no collective (the consumer the
+    ``make_sharded_step(local_diags=...)`` path produces its sharded
+    fields for; parallel/sharding.py).  Replicated leaves (scalars such
+    as the psum'd health counters, or fully-replicated arrays) are
+    written by process 0 only.
+
+    Layout: ``<dirpath>/<tag>_p<process>.npz`` holding
+    ``<name>@<col0>`` blocks plus a ``__shape__<name>`` global-shape
+    entry per field; :func:`stitch_history_shards` reassembles the
+    global arrays (bitwise: the blocks are exact copies of the device
+    shards).  Returns the written path.
+    """
+    import os
+
+    os.makedirs(dirpath, exist_ok=True)
+    pid = (process_index if process_index is not None
+           else jax.process_index())
+    out: Dict[str, np.ndarray] = {}
+    for name, arr in fields.items():
+        if "@" in name or name.startswith("__"):
+            raise ValueError(f"field name {name!r} collides with the "
+                             "shard-file key syntax")
+        if not isinstance(arr, jax.Array):
+            arr = jnp.asarray(arr)
+        out[f"__shape__{name}"] = np.asarray(arr.shape, np.int64)
+        if arr.ndim == 0 or arr.is_fully_replicated:
+            if pid == 0:
+                out[f"{name}@r"] = np.asarray(arr)
+            continue
+        seen = set()
+        for shard in arr.addressable_shards:
+            col0 = shard.index[-1].start or 0
+            if col0 in seen:       # replication over non-column axes
+                continue
+            seen.add(col0)
+            out[f"{name}@{col0}"] = np.asarray(shard.data)
+    path = os.path.join(dirpath, f"{tag}_p{pid}.npz")
+    np.savez(path, **out)
+    return path
+
+
+def stitch_history_shards(dirpath: str, *, tag: str = "hist"
+                          ) -> Dict[str, np.ndarray]:
+    """Reassemble the global history arrays from every process's shard
+    file (``write_history_shards``).  Offsets are concatenated along
+    the trailing (columns) axis; full coverage is verified against the
+    recorded global shapes; overlapping blocks (replication) must be
+    bitwise identical.  Bitwise-exact: no arithmetic touches the data.
+    """
+    import glob
+    import os
+
+    parts = sorted(glob.glob(os.path.join(dirpath, f"{tag}_p*.npz")))
+    if not parts:
+        raise FileNotFoundError(
+            f"no {tag}_p*.npz shard files under {dirpath}")
+    shapes: Dict[str, tuple] = {}
+    blocks: Dict[str, Dict[int, np.ndarray]] = {}
+    replicated: Dict[str, np.ndarray] = {}
+    for p in parts:
+        with np.load(p) as f:
+            for key in f.files:
+                if key.startswith("__shape__"):
+                    shapes[key[len("__shape__"):]] = tuple(
+                        int(x) for x in f[key])
+                    continue
+                name, off = key.rsplit("@", 1)
+                if off == "r":
+                    replicated[name] = f[key]
+                    continue
+                prev = blocks.setdefault(name, {}).get(int(off))
+                if prev is not None:
+                    if not np.array_equal(prev, f[key]):
+                        raise ValueError(
+                            f"overlapping shards of {name!r} at column "
+                            f"{off} disagree across processes")
+                else:
+                    blocks[name][int(off)] = f[key]
+    out: Dict[str, np.ndarray] = {}
+    for name, shape in shapes.items():
+        if name in replicated:
+            out[name] = replicated[name]
+            continue
+        offs = sorted(blocks.get(name, {}))
+        got = 0
+        for o in offs:
+            if o != got:
+                raise ValueError(
+                    f"missing shard of {name!r}: gap at column {got}")
+            got = o + blocks[name][o].shape[-1]
+        if got != shape[-1]:
+            raise ValueError(
+                f"missing trailing shards of {name!r}: have {got} of "
+                f"{shape[-1]} columns")
+        out[name] = np.concatenate([blocks[name][o] for o in offs],
+                                   axis=-1)
+        if out[name].shape != shape:
+            raise ValueError(
+                f"stitched shape {out[name].shape} != recorded "
+                f"{shape} for {name!r}")
+    return out
+
+
 def read_history(path: str):
     """Returns (means dict, count, metadata dict)."""
     with np.load(path) as f:

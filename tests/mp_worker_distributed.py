@@ -96,10 +96,62 @@ def main():
                             compute_diags=False, nsteps=1)
     cont, _ = fn1(restored, ggrid, gforcing)
 
+    # ---- pod history: sharded local_diags -> per-process shard files
+    # (the consumer of make_sharded_step(local_diags=...); VERDICT r4
+    # item 3) -- includes a psum'd health counter to exercise the
+    # replicated-leaf path ----
+    from ocean_bgc_tpu.utils.history import write_history_shards
+
+    LOCAL_DIAGS = ("NITRIF", "pco2surf", "POC_FLUX_IN",
+                   "health_poc_error_cells")
+    fnh = make_sharded_step(mesh, ModelParams(), 3600.0,
+                            compute_diags=True, nsteps=1, health=True,
+                            local_diags=LOCAL_DIAGS)
+    _, _, hlocal = fnh(gstate, ggrid, gforcing)
+    write_history_shards(os.path.join(outdir, "history"), hlocal)
+
+    # ---- production rehearsal E2E (VERDICT r4 item 6): restore ->
+    # sharded forced run (hold interp, per-record env cache) ->
+    # selective history + health psums -> checkpoint again -> bitwise
+    # continuation.  The composition a real deployment runs. ----
+    from ocean_bgc_tpu.parallel.sharding import make_sharded_forced_run
+    from ocean_bgc_tpu.models.forcing_series import stack_forcings
+    import dataclasses as _dc
+
+    forcing2 = _dc.replace(
+        forcing,
+        sst=forcing.sst + 0.5,
+        potential_temperature=forcing.potential_temperature + 0.5,
+        shortwave_surface=forcing.shortwave_surface * 1.1)
+    series = stack_forcings([forcing, forcing2])
+    gseries = dist.host_local_to_global(local_block(series), mesh,
+                                        total_cols)
+    ffn = make_sharded_forced_run(mesh, ModelParams(), 3600.0, 4,
+                                  2 * 3600.0, interp="hold",
+                                  env_mode="hold")
+    prod = ffn(restored, ggrid, gseries)
+    prod2, _, plocal = fnh(prod, ggrid, gforcing)
+    write_history_shards(os.path.join(outdir, "history2"), plocal)
+
+    ckpt2_path = os.path.join(outdir, "ckpt2_sharded")
+    ckpt.save(ckpt2_path, prod2, step=8, use_orbax=True)
+    restored2, r2step = ckpt.restore(ckpt2_path, mesh=mesh)
+    assert r2step == 8, r2step
+    cont_direct, _ = fn1(prod2, ggrid, gforcing)
+    cont_restored, _ = fn1(restored2, ggrid, gforcing)
+    for a, b in zip(jax.tree.leaves(cont_direct),
+                    jax.tree.leaves(cont_restored)):
+        la, lb = local_shards(a), local_shards(b)
+        assert la.keys() == lb.keys()
+        for k in la:
+            assert np.array_equal(la[k], lb[k]), (
+                "rehearsal continuation not bitwise after restore")
+
     # collect this process's addressable output shards
     out = {}
     for tag, arr in (("tracers", final.bgc.tracers),
-                     ("cont", cont.bgc.tracers)):
+                     ("cont", cont.bgc.tracers),
+                     ("prod", prod2.bgc.tracers)):
         for shard in arr.addressable_shards:
             col0 = shard.index[-1].start or 0
             out[f"{tag}_{col0}"] = np.asarray(shard.data)

@@ -54,7 +54,7 @@ def test_two_process_mesh_matches_single_process(tmp_path):
     outputs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -67,6 +67,7 @@ def test_two_process_mesh_matches_single_process(tmp_path):
     nlev, ntrc = 6, 30
     got = np.full((nlev, ntrc, TOTAL_COLS), np.nan)
     got_cont = np.full((nlev, ntrc, TOTAL_COLS), np.nan)
+    got_prod = np.full((nlev, ntrc, TOTAL_COLS), np.nan)
     gsums = {}
     for pid in range(NPROC):
         with np.load(tmp_path / f"proc{pid}.npz") as f:
@@ -79,10 +80,15 @@ def test_two_process_mesh_matches_single_process(tmp_path):
                     col0 = int(key.split("_")[1])
                     block = f[key]
                     got_cont[:, :, col0:col0 + block.shape[-1]] = block
+                elif key.startswith("prod_"):
+                    col0 = int(key.split("_")[1])
+                    block = f[key]
+                    got_prod[:, :, col0:col0 + block.shape[-1]] = block
                 elif key.startswith("gsum_"):
                     gsums.setdefault(key[5:], []).append(float(f[key]))
     assert not np.isnan(got).any(), "missing output shards"
     assert not np.isnan(got_cont).any(), "missing restored-continue shards"
+    assert not np.isnan(got_prod).any(), "missing rehearsal shards"
     # the replicated global sums must agree across processes exactly
     for name, vals in gsums.items():
         assert len(vals) == NPROC
@@ -110,3 +116,52 @@ def test_two_process_mesh_matches_single_process(tmp_path):
         # cross-shard psum associates differently than one global sum
         np.testing.assert_allclose(gsums[name][0], want, rtol=1e-11,
                                    atol=1e-14, err_msg=name)
+
+    # ---- pod history: stitch the per-process shard files and compare
+    # against a single-process evaluation of the same selective
+    # history (VERDICT r4 item 3) ----
+    from ocean_bgc_tpu.utils.history import stitch_history_shards
+
+    hist = stitch_history_shards(str(tmp_path / "history"))
+    _, hdiags = step(state, grid, forcing, params, 3600.0,
+                     compute_diags=True, health=True,
+                     diag_filter=("NITRIF", "pco2surf", "POC_FLUX_IN"))
+    for name in ("NITRIF", "pco2surf", "POC_FLUX_IN"):
+        assert hist[name].shape == np.asarray(hdiags[name]).shape, name
+        np.testing.assert_allclose(hist[name], np.asarray(hdiags[name]),
+                                   rtol=1e-12, atol=1e-18, err_msg=name)
+    # the psum'd health counter rides the history as a replicated scalar
+    assert hist["health_poc_error_cells"].ndim == 0
+    assert float(hist["health_poc_error_cells"]) == float(
+        np.asarray(hdiags["health_poc_error_cells"]))
+
+    # ---- production rehearsal (VERDICT r4 item 6): the worker composed
+    # restore -> sharded forced run (hold interp, per-record env) ->
+    # selective history + health -> checkpoint -> bitwise continuation.
+    # Verify its final state and second history against the identical
+    # single-process composition. ----
+    import dataclasses as _dc
+
+    from ocean_bgc_tpu.models.forcing_series import (run_forced,
+                                                     stack_forcings)
+
+    forcing2 = _dc.replace(
+        forcing,
+        sst=forcing.sst + 0.5,
+        potential_temperature=forcing.potential_temperature + 0.5,
+        shortwave_surface=forcing.shortwave_surface * 1.1)
+    series = stack_forcings([forcing, forcing2])
+    prod, _ = run_forced(s2, grid, series, params, 3600.0, 4,
+                         2 * 3600.0, interp="hold", env_mode="hold")
+    prod2, pdiags = step(prod, grid, forcing, params, 3600.0,
+                         compute_diags=True, health=True,
+                         diag_filter=("NITRIF", "pco2surf",
+                                      "POC_FLUX_IN"))
+    # 7 coupled steps of separation amplify the shard-refusion ulps;
+    # the envelope below is far under any physical signal
+    np.testing.assert_allclose(got_prod, np.asarray(prod2.bgc.tracers),
+                               rtol=1e-9, atol=1e-15)
+    hist2 = stitch_history_shards(str(tmp_path / "history2"))
+    for name in ("NITRIF", "pco2surf", "POC_FLUX_IN"):
+        np.testing.assert_allclose(hist2[name], np.asarray(pdiags[name]),
+                                   rtol=1e-8, atol=1e-14, err_msg=name)
