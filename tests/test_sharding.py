@@ -119,6 +119,16 @@ def test_sharded_forced_run_matches_single_device():
                                np.asarray(want_h.bgc.tracers),
                                rtol=1e-10, atol=1e-280)
 
+    # A/B: the GSPMD twin (make_pjit_forced_run — validation harness,
+    # see its docstring) derives the same partitioned program
+    from ocean_bgc_tpu.parallel import make_pjit_forced_run
+    fn_pj = make_pjit_forced_run(mesh, params, 3600.0, nsteps,
+                                 record_dt)
+    got_pj = fn_pj(state_s, grid_s, series_s)
+    np.testing.assert_allclose(np.asarray(got_pj.bgc.tracers),
+                               np.asarray(want.bgc.tracers),
+                               rtol=1e-12, atol=1e-18)
+
 
 def test_sharded_local_diags_match_single_device():
     """make_sharded_step(local_diags=...): per-column diagnostic fields
