@@ -17,6 +17,14 @@ Usage:
     python scripts/run_suite.py [--chunks N] [-- extra pytest args]
 
 Exit code 0 iff every chunk passes.
+
+BUDGET: the full suite measured ~3,200-3,800 s green on this image
+(round 4: 3,225 s; the deep-world/adjoint files alone are ~1,700 s,
+dominated by XLA CPU compiles).  Fast-fail ordering: the known
+compile-heavy files are pinned to the LAST chunk so cheap chunks
+surface failures in the first few hundred seconds; if the runner must
+fit a tighter window, pass more --chunks (smaller processes) or run
+the expensive chunk separately.
 """
 
 from __future__ import annotations
@@ -44,12 +52,23 @@ def main() -> int:
     # (its _isolated delegator runs it); keep the exclusion here too
     files = [f for f in files if not f.endswith("test_pallas_step.py")]
 
-    # balance by file size (a cheap proxy for compile-heaviness),
-    # round-robin over size-sorted files
-    by_size = sorted(files, key=os.path.getsize, reverse=True)
-    chunks = [[] for _ in range(max(1, args.chunks))]
+    # fast-fail ordering: the measured compile-heavy files (deep world,
+    # adjoint, fp32 deep, multiprocess) run in the LAST chunk so a
+    # failure anywhere cheap surfaces within the first few hundred
+    # seconds of the ~1-hour budget (see module docstring)
+    EXPENSIVE = ("test_deep_world.py", "test_adjoint.py",
+                 "test_fp32_deep.py", "test_distributed_multiprocess.py")
+    slow = [f for f in files if os.path.basename(f) in EXPENSIVE]
+    fast = [f for f in files if f not in slow]
+
+    # balance the rest by file size (a cheap proxy for
+    # compile-heaviness), round-robin over size-sorted files
+    nfast = max(1, args.chunks - 1)
+    by_size = sorted(fast, key=os.path.getsize, reverse=True)
+    chunks = [[] for _ in range(nfast)]
     for i, f in enumerate(by_size):
-        chunks[i % len(chunks)].append(f)
+        chunks[i % nfast].append(f)
+    chunks.append(slow)
 
     failures = []
     t0 = time.monotonic()
