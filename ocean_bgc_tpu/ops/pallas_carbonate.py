@@ -60,7 +60,8 @@ _ARG_ORDER = ("depth", "temp", "salt", "dic", "ta", "pt", "sit",
 _N_COEFFS = len(CarbCoeffs._fields)
 
 
-def _carbonate_kernel(*refs, stack_dual, coeffs_in, with_sat):
+def _carbonate_kernel(*refs, stack_dual, coeffs_in, with_sat,
+                      x0_seed=False):
     n_in = 12 + (_N_COEFFS if coeffs_in else 0)
     ins, outs = refs[:n_in], refs[n_in:]
     (depth_ref, temp_ref, salt_ref, dic_ref, ta_ref, pt_ref, sit_ref,
@@ -82,6 +83,18 @@ def _carbonate_kernel(*refs, stack_dual, coeffs_in, with_sat):
                                       sit_ref[:])
 
     ln10 = 2.302585092994045684
+
+    def x0_of(phlo, phhi):
+        """Previous-root iteration seed, recovered in-kernel: warm
+        lanes' brackets are ph_prev +/- DEL_PH, so their pH-space
+        midpoint IS ph_prev; cold lanes (the wide init bracket, width
+        3) are detected by bracket width and keep the 0 sentinel
+        (= start at the H-space bracket midpoint, the reference
+        sequence).  See carbonate.py::x0_seed_enabled — opt-in, same
+        flag as the XLA path; all-float select/compare, Mosaic-safe."""
+        mid = 0.5 * (phlo + phhi)
+        warm = (phhi - phlo) < 1.0
+        return jnp.where(warm, jnp.exp(-ln10 * mid), 0.0)
 
     def speciate(h, out_refs):
         ph_ref, h2co3_ref, hco3_ref, co3_ref = out_refs
@@ -106,7 +119,12 @@ def _carbonate_kernel(*refs, stack_dual, coeffs_in, with_sat):
         ta2 = jnp.concatenate([ta, ta], axis=0)
         pt2 = jnp.concatenate([pt, pt], axis=0)
         sit2 = jnp.concatenate([sit, sit], axis=0)
-        h = _solve_htotal_impl(coeffs2, dic2, ta2, pt2, sit2, x1, x2)
+        x0 = (jnp.concatenate(
+            [x0_of(phlo_a_ref[:], phhi_a_ref[:]),
+             x0_of(phlo_b_ref[:], phhi_b_ref[:])], axis=0)
+            if x0_seed else None)
+        h = _solve_htotal_impl(coeffs2, dic2, ta2, pt2, sit2, x1, x2,
+                               x0=x0)
         nr = dic.shape[0]
         h2 = h * h
         k12_2 = coeffs2.k1 * coeffs2.k2
@@ -125,11 +143,15 @@ def _carbonate_kernel(*refs, stack_dual, coeffs_in, with_sat):
         # coefficients either way)
         h_a = _solve_htotal_impl(
             coeffs, dic, ta, pt, sit,
-            jnp.exp(-ln10 * phhi_a_ref[:]), jnp.exp(-ln10 * phlo_a_ref[:]))
+            jnp.exp(-ln10 * phhi_a_ref[:]), jnp.exp(-ln10 * phlo_a_ref[:]),
+            x0=(x0_of(phlo_a_ref[:], phhi_a_ref[:]) if x0_seed
+                else None))
         speciate(h_a, (ph_a_ref, h2co3_a_ref, hco3_a_ref, co3_a_ref))
         h_b = _solve_htotal_impl(
             coeffs, dic, ta, pt, sit,
-            jnp.exp(-ln10 * phhi_b_ref[:]), jnp.exp(-ln10 * phlo_b_ref[:]))
+            jnp.exp(-ln10 * phhi_b_ref[:]), jnp.exp(-ln10 * phlo_b_ref[:]),
+            x0=(x0_of(phlo_b_ref[:], phhi_b_ref[:]) if x0_seed
+                else None))
         speciate(h_b, (ph_b_ref, h2co3_b_ref, hco3_b_ref, co3_b_ref))
     if with_sat:
         sat_calc_ref, sat_arag_ref = outs[8:]
@@ -140,9 +162,9 @@ def _carbonate_kernel(*refs, stack_dual, coeffs_in, with_sat):
 @functools.partial(jax.jit,
                    static_argnames=("block_rows", "interpret",
                                     "stack_dual", "coeffs_in",
-                                    "with_sat"))
+                                    "with_sat", "x0_seed"))
 def _dual_sat_padded(args_2d, block_rows, interpret, stack_dual,
-                     coeffs_in, with_sat):
+                     coeffs_in, with_sat, x0_seed=False):
     rows = args_2d[0].shape[0]
     # np.int32(0), not 0: with jax_enable_x64 the literal becomes an i64
     # scalar in the index-map mini-function, which Mosaic cannot return
@@ -165,7 +187,8 @@ def _dual_sat_padded(args_2d, block_rows, interpret, stack_dual,
     n_out = 10 if with_sat else 8
     return pl.pallas_call(
         functools.partial(_carbonate_kernel, stack_dual=stack_dual,
-                          coeffs_in=coeffs_in, with_sat=with_sat),
+                          coeffs_in=coeffs_in, with_sat=with_sat,
+                          x0_seed=x0_seed),
         grid=(rows // block_rows,),
         in_specs=[spec] * len(args_2d),
         out_specs=(spec,) * n_out,
@@ -235,8 +258,10 @@ def co3_terms_dual_sat_pallas(depth_m, temp, salt, dic, ta, pt, sit,
     if coeffs is not None:
         flat.extend(flatten(v) for v in coeffs)
 
+    from ocean_bgc_tpu.ops.carbonate import x0_seed_enabled
     outs = _dual_sat_padded(tuple(flat), block_rows, interpret,
-                            stack_dual, coeffs is not None, with_sat)
+                            stack_dual, coeffs is not None, with_sat,
+                            x0_seed=x0_seed_enabled())
     outs = [o.reshape(-1)[:n].reshape(shape) for o in outs]
     sat = tuple(outs[8:10]) if with_sat else None
     return tuple(outs[0:4]), tuple(outs[4:8]), sat
