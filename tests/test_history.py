@@ -156,3 +156,37 @@ def test_run_forced_tavg():
     assert np.isfinite(np.asarray(tavg.means()["pco2surf"])).all()
     assert np.isfinite(np.asarray(final.bgc.tracers)).all()
     assert "pco2surf" in diags
+
+
+def test_history_shards_single_process_roundtrip(tmp_path):
+    """write_history_shards / stitch_history_shards: bitwise round trip
+    of sharded + replicated + scalar fields, and loud failures on
+    missing shards (the pod-history writer; the 2-process exercise is
+    in tests/test_distributed_multiprocess.py)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from ocean_bgc_tpu.utils.history import (stitch_history_shards,
+                                             write_history_shards)
+
+    fields = {
+        "NITRIF": jnp.arange(24.0).reshape(2, 12),
+        "pco2surf": jnp.arange(12.0),
+        "health_poc_error_cells": jnp.asarray(3.0),
+    }
+    write_history_shards(str(tmp_path), fields, process_index=0)
+    got = stitch_history_shards(str(tmp_path))
+    for name, v in fields.items():
+        np.testing.assert_array_equal(got[name], np.asarray(v))
+
+    # a gap in the column coverage must raise, not silently truncate:
+    # a hand-written part file claiming 16 columns but holding 8
+    import os
+
+    d2 = tmp_path / "gappy"
+    os.makedirs(d2)
+    np.savez(d2 / "hist_p0.npz",
+             **{"f@0": np.arange(8.0),
+                "__shape__f": np.asarray([16], np.int64)})
+    with pytest.raises(ValueError, match="missing"):
+        stitch_history_shards(str(d2))
