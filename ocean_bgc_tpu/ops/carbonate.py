@@ -740,7 +740,7 @@ def warm_brackets_h(ph_prev, lo_init, hi_init, del_ph, with_seed=False):
     x2 = jnp.where(warm, h_prev * (10.0 ** del_ph), 10.0 ** -lo_init)
     if with_seed:
         # the previous root itself, as the iteration seed for
-        # solve_htotal_x0 (0 = cold sentinel -> bracket midpoint)
+        # solve_htotal_warm (0 = cold sentinel -> bracket midpoint)
         return x1, x2, jnp.where(warm, h_prev, 0.0)
     return x1, x2
 
