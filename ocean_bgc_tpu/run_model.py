@@ -74,6 +74,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--health", action="store_true",
                    help="accumulate pH-solver non-convergence and "
                         "poc_error counters into the summary")
+    p.add_argument("--solver-seed", action="store_true",
+                   help="opt into the previous-root pH-solver seed "
+                        "(OBGC_X0_SEED=1): ~1 warm iteration instead "
+                        "of 2-3, +15%% measured throughput; root equal "
+                        "to solver tolerance but not the reference "
+                        "iterate sequence (qualified, "
+                        "tests/test_x0_seed_trajectory.py)")
     p.add_argument("--netcdf-history", action="store_true",
                    help="write history as NetCDF instead of npz")
     p.add_argument("--quiet", action="store_true")
@@ -82,6 +89,11 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+
+    if args.solver_seed:
+        # must land before the first trace (the flag is read at trace
+        # time, ops/carbonate.py::x0_seed_enabled)
+        os.environ["OBGC_X0_SEED"] = "1"
 
     import jax
     import jax.numpy as jnp
