@@ -376,7 +376,10 @@ def main():
         for e, d in ((True, False), (False, False), (True, True),
                      (False, True)):
             key = (f"env_{'on' if e else 'off'}"
-                   f"_diags_{'on' if d else 'off'}")
+                   f"_diags_{'on' if d else 'off'}"
+                   # the loop inherits diag_dtype: label it so an
+                   # f32-diag quad is never mistaken for the plain one
+                   + ("_f32diags" if ddt is not None else ""))
             if key in configs:
                 continue
             if _budget_left() <= 0:
