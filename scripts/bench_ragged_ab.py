@@ -47,10 +47,25 @@ from ocean_bgc_tpu.params import ModelParams
 from ocean_bgc_tpu.utils.synthetic import synthetic_world
 
 
-def measure(state, grid, forcing, params, env, nsteps, repeats):
-    stepj = jax.jit(lambda s: step(s, grid, forcing, params, 3600.0,
-                                   compute_diags=False, env=env)[0],
-                    donate_argnums=0)
+PROD_FILTER = ("pco2surf", "dpco2", "NITRIF", "DENITRIF",
+               "POC_FLUX_IN", "photoC_TOT_zint", "tot_CaCO3_form_zint",
+               "Jint_Ctot", "O2_ZMIN", "Chl_TOT_zint_100m")
+
+
+def measure(state, grid, forcing, params, env, nsteps, repeats,
+            diag_filter=None):
+    diags = diag_filter is not None
+
+    def one(s):
+        s2, d = step(s, grid, forcing, params, 3600.0,
+                     compute_diags=diags, env=env,
+                     diag_filter=diag_filter)
+        return (s2, d) if diags else s2
+
+    stepj = jax.jit(one, donate_argnums=0)
+    if diags:
+        inner = stepj
+        stepj = lambda s: inner(s)[0]  # noqa: E731  (history discarded)
     # the caller reuses `state` across configs; donation consumes it
     s = jax.tree.map(jnp.copy, state)
     s = stepj(s)                          # compile + first (cold) step
@@ -80,20 +95,26 @@ def main():
         grid.active_mask().astype(jnp.float64)))
 
     x0_on = os.environ.get("OBGC_X0_SEED", "0") == "1"
-    if x0_on:
+    suffix = "_x0" if x0_on else ""
+    if os.environ.get("BENCH_RAGGED_DIAGS", "0") == "1":
+        # the production-history configuration: ragged bathymetry +
+        # the 10-field selective history (diag_filter)
+        configs = [(f"ragged_prod_history10{suffix}", env, PROD_FILTER)]
+    elif x0_on:
         # the x0 run measures only its own config (the no-seed A leg
         # belongs to the flag-off run)
-        configs = [("ragged_default_x0", env)]
+        configs = [("ragged_default_x0", env, None)]
     else:
         configs = [("ragged_no_standin_seed",
-                    env._replace(standin_ph=None)),
-                   ("ragged_default", env)]
+                    env._replace(standin_ph=None), None),
+                   ("ragged_default", env, None)]
     out = {"ncol": ncol, "nlev": nlev,
            "platform": jax.devices()[0].platform,
            "active_lane_frac": round(active_frac, 4),
            "x0_seed": x0_on}
-    for name, e in configs:
-        t = measure(state, grid, forcing, params, e, nsteps, repeats)
+    for name, e, filt in configs:
+        t = measure(state, grid, forcing, params, e, nsteps, repeats,
+                    diag_filter=filt)
         out[name] = round(ncol / t, 1)
         print(json.dumps({name: out[name]}), flush=True)
     print(json.dumps(out), flush=True)
