@@ -42,7 +42,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunks", type=int, default=6,
-                    help="number of sequential pytest processes")
+                    help="number of pytest processes")
+    ap.add_argument("--parallel", type=int, default=1,
+                    help="run up to N chunks concurrently (default 1 — "
+                         "the documented sequential behavior; 2 cuts "
+                         "the ~1h wall time substantially on this "
+                         "many-core host at the cost of interleaved "
+                         "output)")
+    ap.add_argument("--files", nargs="*",
+                    help="restrict to these test files (basenames) — "
+                         "for smoke-testing the runner itself")
     ap.add_argument("rest", nargs="*",
                     help="extra pytest args after --")
     args = ap.parse_args()
@@ -51,6 +60,9 @@ def main() -> int:
     # test_pallas_step.py is excluded from direct collection by conftest
     # (its _isolated delegator runs it); keep the exclusion here too
     files = [f for f in files if not f.endswith("test_pallas_step.py")]
+    if args.files:
+        keep = set(args.files)
+        files = [f for f in files if os.path.basename(f) in keep]
 
     # fast-fail ordering: the measured compile-heavy files (deep world,
     # adjoint, fp32 deep, multiprocess) run in the LAST chunk so a
@@ -72,16 +84,36 @@ def main() -> int:
 
     failures = []
     t0 = time.monotonic()
-    for i, chunk in enumerate(c for c in chunks if c):
+    todo = [(i, c) for i, c in enumerate(c for c in chunks if c)]
+    running = []
+
+    def reap(block):
+        while True:
+            finished = [item for item in running
+                        if item[2].poll() is not None]
+            for item in finished:
+                running.remove(item)
+                i, names, p = item
+                if p.returncode != 0:
+                    failures.append((i, names, p.returncode))
+                print(f"[chunk {i}] rc={p.returncode} "
+                      f"(elapsed {time.monotonic() - t0:.0f}s)",
+                      flush=True)
+            if finished or not block or not running:
+                return
+            time.sleep(2.0)
+
+    for i, chunk in todo:
+        while len(running) >= max(1, args.parallel):
+            reap(block=True)
         names = [os.path.basename(f) for f in chunk]
         print(f"[chunk {i}] {' '.join(names)}", flush=True)
-        r = subprocess.run(
+        p = subprocess.Popen(
             [sys.executable, "-m", "pytest", "-q", *args.rest, *chunk],
             cwd=REPO)
-        if r.returncode != 0:
-            failures.append((i, names, r.returncode))
-        print(f"[chunk {i}] rc={r.returncode} "
-              f"(elapsed {time.monotonic() - t0:.0f}s)", flush=True)
+        running.append((i, names, p))
+    while running:
+        reap(block=True)
 
     if failures:
         print("FAILED chunks:")
